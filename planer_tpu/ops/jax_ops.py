@@ -1,0 +1,529 @@
+"""JAX/XLA op library — the compiled compute path.
+
+Each IR opcode gets a trace-friendly jnp/lax implementation with static
+shapes; XLA owns fusion and scheduling.  Shape-like operands (reshape targets,
+slice bounds, resize scales, ...) arrive as *numpy* arrays hoisted to trace
+time by the tracer (runtime/tracer.py) — implementations accept numpy for
+those and traced arrays for data.
+
+Parity contract: every function here matches the numpy oracle
+(:mod:`.numpy_ops`) to fp32 tolerance; resize/upsample share the exact same
+index plans (:mod:`.resize`) so they are bit-identical in index selection.
+
+Reference capability map: /root/reference/planer/layer.py (op set),
+/root/reference/planer/util.py (kernels).  Nothing here is a translation —
+conv is ``lax.conv_general_dilated`` (XLA's implicit-GEMM on the MXU), pooling
+is ``lax.reduce_window``, LSTM is a ``lax.scan`` over a fused cell.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import resize as _rs
+from .qtypes import QTensor
+
+# --------------------------------------------------------------------------
+# conv / pool / matmul
+# --------------------------------------------------------------------------
+
+_DIMNUMS = ("NCHW", "OIHW", "NCHW")
+
+
+def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
+           pads=(0, 0, 0, 0)):
+    if isinstance(K, QTensor):
+        K = K.dequant(x.dtype)
+    strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
+    dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
+    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
+    pt, pl, pb, pr = pads
+    out = lax.conv_general_dilated(
+        x, K,
+        window_strides=strides,
+        padding=((pt, pb), (pl, pr)),
+        rhs_dilation=dilations,
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=int(group),
+        preferred_element_type=jnp.float32 if x.dtype != jnp.float64 else None,
+    ).astype(x.dtype)
+    if B is not None:
+        out = out + B.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
+def conv_transpose2d(x, K, B=None, strides=(2, 2), dilations=(1, 1),
+                     pads=(0, 0, 0, 0), output_padding=(0, 0), group=1):
+    """ONNX ConvTranspose as an input-dilated conv (lhs_dilation = stride)
+    with the IO-transposed, spatially-flipped kernel — one XLA conv, no
+    explicit zero-stuffing buffer (cf. reference layer.py:28-34)."""
+    strides = (2, 2) if strides is None else tuple(int(s) for s in strides)
+    dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
+    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
+    output_padding = (0, 0) if output_padding is None else tuple(
+        int(p) for p in output_padding)
+    sh, sw = strides
+    dh, dw = dilations
+    pt, pl, pb, pr = pads
+    oph, opw = output_padding
+    g = int(group)
+    if isinstance(K, QTensor):
+        K = K.dequant(x.dtype)
+    C = x.shape[1]
+    _, Og, kh, kw = K.shape
+    Kg = K.reshape(g, C // g, Og, kh, kw)
+    Kt = Kg.transpose(0, 2, 1, 3, 4)[:, :, :, ::-1, ::-1]
+    Kt = Kt.reshape(g * Og, C // g, kh, kw)
+    out = lax.conv_general_dilated(
+        x, Kt,
+        window_strides=(1, 1),
+        padding=((dh * (kh - 1) - pt, dh * (kh - 1) - pb + oph),
+                 (dw * (kw - 1) - pl, dw * (kw - 1) - pr + opw)),
+        lhs_dilation=(sh, sw),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=g,
+        preferred_element_type=jnp.float32 if x.dtype != jnp.float64 else None,
+    ).astype(x.dtype)
+    if B is not None:
+        out = out + B.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
+def dense(x, K, B=None, shp=None):
+    if isinstance(K, QTensor):
+        from .pallas import gemm as _pgemm
+        return _pgemm.dense_q(x, K, B)
+    y = jnp.matmul(x, K.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    if B is not None:
+        y = y + B.reshape(1, -1).astype(y.dtype)
+    return y
+
+
+def matmul(x, y):
+    if isinstance(y, QTensor):
+        y = y.dequant(x.dtype)
+    if isinstance(x, QTensor):
+        x = x.dequant(y.dtype)
+    return jnp.matmul(x, y, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _pool_dims(w, pads, strides):
+    w = (2, 2) if w is None else tuple(int(v) for v in w)
+    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
+    strides = (2, 2) if strides is None else tuple(int(s) for s in strides)
+    pt, pl, pb, pr = pads
+    return w, ((0, 0), (0, 0), (pt, pb), (pl, pr)), strides
+
+
+def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2)):
+    (kh, kw), pad4, (sh, sw) = _pool_dims(w, pads, strides)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(x, init, lax.max, (1, 1, kh, kw), (1, 1, sh, sw),
+                             pad4)
+
+
+def averagepool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2),
+                count_include_pad=1):
+    (kh, kw), pad4, (sh, sw) = _pool_dims(w, pads, strides)
+    s = lax.reduce_window(x, jnp.array(0, x.dtype), lax.add,
+                          (1, 1, kh, kw), (1, 1, sh, sw), pad4)
+    if count_include_pad:
+        return s / (kh * kw)
+    ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
+    cnt = lax.reduce_window(ones, jnp.array(0, x.dtype), lax.add,
+                            (1, 1, kh, kw), (1, 1, sh, sw), pad4)
+    return s / cnt
+
+
+def global_average_pool(x):
+    return jnp.mean(x, axis=(-2, -1), keepdims=True)
+
+
+# --------------------------------------------------------------------------
+# recurrent
+# --------------------------------------------------------------------------
+
+def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
+         hidden_size=None, direction="forward"):
+    """ONNX LSTM via lax.scan over a fused cell (iofc gate order).
+
+    The per-timestep GEMMs (X@W^T precomputed for the whole sequence; h@R^T
+    in the scan body) hit the MXU; the reference loops timesteps in Python
+    (util.py:102-119)."""
+    dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
+    L, N, D = X.shape
+    H = R.shape[-1]
+
+    def run_dir(di, d):
+        w, r = W[di], R[di]
+        b = (B[di][: 4 * H] + B[di][4 * H:]) if B is not None else 0.0
+        h0 = initial_h[di] if initial_h is not None else jnp.zeros((N, H), X.dtype)
+        c0 = initial_c[di] if initial_c is not None else jnp.zeros((N, H), X.dtype)
+        # hoist the input projection out of the scan: one big MXU matmul
+        xw = jnp.einsum("lnd,gd->lng", X, w,
+                        preferred_element_type=jnp.float32).astype(X.dtype)
+        xs = xw if d == 1 else xw[::-1]
+
+        def cell(carry, xt):
+            ht, ct = carry
+            gates = xt + jnp.matmul(ht, r.T,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(X.dtype) + b
+            i, o, f, c = jnp.split(gates, 4, axis=-1)
+            i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
+            c = jnp.tanh(c)
+            ct = f * ct + i * c
+            ht = o * jnp.tanh(ct)
+            return (ht, ct), ht
+
+        (hT, cT), ys = lax.scan(cell, (h0, c0), xs)
+        if d == -1:
+            ys = ys[::-1]
+        return ys, hT, cT
+
+    outs = [run_dir(di, d) for di, d in enumerate(dirs)]
+    Y = jnp.stack([o[0] for o in outs], axis=1)  # (L, dirs, N, H)
+    Yh = jnp.stack([o[1] for o in outs], axis=0)
+    Yc = jnp.stack([o[2] for o in outs], axis=0)
+    return Y, Yh, Yc
+
+
+# --------------------------------------------------------------------------
+# activations / elementwise
+# --------------------------------------------------------------------------
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def leakyrelu(x, alpha=0.2):
+    return jnp.where(x > 0, x, x * jnp.asarray(alpha, x.dtype))
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def hardsigmoid(x, alpha=0.2, beta=0.5):
+    return jnp.clip(x * alpha + beta, 0, 1).astype(x.dtype)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+def softmax(x, axis=-1):
+    return jax.nn.softmax(x, axis=axis)
+
+
+def logsoftmax(x, axis=-1):
+    return jax.nn.log_softmax(x, axis=axis)
+
+
+def clip(x, min_t=None, max_t=None, min=None, max=None):
+    lo = min if min is not None else min_t
+    hi = max if max is not None else max_t
+    return jnp.clip(x, lo, hi)
+
+
+def erf(x):
+    return lax.erf(x)
+
+
+def sqrt(x):
+    return jnp.sqrt(x)
+
+
+def exp(x):
+    return jnp.exp(x)
+
+
+def log(x):
+    return jnp.log(x)
+
+
+def reciprocal(x):
+    return 1.0 / x
+
+
+def power(x, p):
+    return jnp.power(x, p)
+
+
+def add(a, b):
+    return a + b
+
+
+def sub(a, b):
+    return a - b
+
+
+def mul(a, b):
+    return a * b
+
+
+def div(a, b):
+    return a / b
+
+
+def equal(a, b):
+    return jnp.equal(a, b)
+
+
+def greater(a, b):
+    return jnp.greater(a, b)
+
+
+def greater_or_equal(a, b):
+    return jnp.greater_equal(a, b)
+
+
+def where(mask, a, b):
+    return jnp.where(mask, a, b)
+
+
+def identity(x):
+    return x
+
+
+# --------------------------------------------------------------------------
+# normalization
+# --------------------------------------------------------------------------
+
+def batchnorm(x, K, B):
+    return x * K + B
+
+
+def instance_normalization(x, s, bias, epsilon=1e-5):
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    shp = (1, -1) + (1,) * (x.ndim - 2)
+    inv = lax.rsqrt(var + epsilon)
+    return (x - mean) * inv * s.reshape(shp) + bias.reshape(shp)
+
+
+# --------------------------------------------------------------------------
+# shape / index / tensor ops (shape operands are trace-time numpy)
+# --------------------------------------------------------------------------
+
+def reshape(x, shp):
+    shp = np.asarray(shp).astype(np.int64).tolist()
+    for i, v in enumerate(shp):
+        if v == 0:
+            shp[i] = x.shape[i]
+    return jnp.reshape(x, shp)
+
+
+def flatten(x, axis=1):
+    lead = int(np.prod(x.shape[:axis], dtype=np.int64)) if axis else 1
+    return jnp.reshape(x, (lead, -1))
+
+
+def transpose(x, axis=None):
+    return jnp.transpose(x, axis)
+
+
+def concat(*xs, axis=0):
+    dt = jnp.result_type(*[x.dtype for x in xs])
+    return jnp.concatenate([x.astype(dt) for x in xs], axis=axis)
+
+
+def split(x, split=None, axis=0):
+    segs = np.cumsum(np.asarray(split)).tolist()
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(0, segs[-1])
+    return tuple(jnp.split(x[tuple(idx)], segs[:-1], axis))
+
+
+def gather(x, idx, axis=0):
+    if isinstance(idx, np.ndarray) or np.isscalar(idx):
+        idx = np.asarray(idx).astype(np.int64)
+    return jnp.take(x, idx, axis=axis)
+
+
+def slice_(x, starts, ends, axes=None, steps=None):
+    starts = np.asarray(starts).astype(np.int64).tolist()
+    ends = np.asarray(ends).astype(np.int64).tolist()
+    axes = (list(range(len(starts))) if axes is None
+            else np.asarray(axes).astype(np.int64).tolist())
+    steps = ([1] * len(starts) if steps is None
+             else np.asarray(steps).astype(np.int64).tolist())
+    sl = [slice(None)] * x.ndim
+    for s, e, a, st in zip(starts, ends, axes, steps):
+        sl[a] = slice(s, e, st)
+    return x[tuple(sl)]
+
+
+def expand(x, shp):
+    shp = tuple(np.asarray(shp).astype(np.int64).tolist())
+    out_shape = np.broadcast_shapes(x.shape, shp)
+    return jnp.broadcast_to(x, out_shape)
+
+
+def tile(x, repeats):
+    return jnp.tile(x, np.asarray(repeats).astype(np.int64).tolist())
+
+
+def pad(x, pads, constant_value=0.0, mode="constant"):
+    p = np.asarray(pads).astype(np.int64).reshape(2, -1).T.tolist()
+    if mode == "constant":
+        return jnp.pad(x, p, mode="constant", constant_values=constant_value)
+    return jnp.pad(x, p, mode={"reflect": "reflect", "edge": "edge"}[mode])
+
+
+def squeeze(x, axes=None):
+    if axes is None:
+        return jnp.squeeze(x)
+    axes = [int(a) for a in np.atleast_1d(np.asarray(axes))]
+    return jnp.squeeze(x, axis=tuple(axes))
+
+
+def unsqueeze(x, axes=None):
+    axes = [int(a) for a in np.atleast_1d(np.asarray(axes))]
+    return jnp.expand_dims(x, tuple(axes))
+
+
+def shape_of(x):
+    # handled specially by the tracer (always static); kept for completeness
+    return np.asarray(x.shape, dtype=np.int64)
+
+
+def cast(x, dtype="float32"):
+    if dtype == "flaot32":
+        dtype = "float32"
+    return jnp.asarray(x).astype(dtype)
+
+
+def const(value=0, dtype="float32"):
+    return np.asarray(value, dtype=dtype)
+
+
+def constant_of_shape(x, value=0, dtype="float32"):
+    shp = tuple(np.asarray(x).astype(np.int64).ravel().tolist())
+    return jnp.full(shp, value, dtype=dtype)
+
+
+def arange(start, end, delta):
+    return np.arange(int(np.asarray(start)), int(np.asarray(end)),
+                     int(np.asarray(delta)))
+
+
+def scatternd(data, indices, updates):
+    data = jnp.asarray(data)
+    r = indices.shape[-1]
+    idx = jnp.reshape(indices, (-1, r)).astype(jnp.int32)
+    upd = jnp.reshape(updates, (-1,) + data.shape[r:])
+    return data.at[tuple(idx[:, i] for i in range(r))].set(upd)
+
+
+def nonzero(x):  # data-dependent output shape — host-tail only
+    raise NotImplementedError("nonzero is data-dependent; runs on host tail")
+
+
+def topk(x, k, axis=-1, largest=1, sorted=1):
+    k = int(np.asarray(k).ravel()[0])
+    axis = axis % x.ndim
+    moved = jnp.moveaxis(x, axis, -1)
+    if largest:
+        vals, idx = lax.top_k(moved, k)
+    else:
+        vals, idx = lax.top_k(-moved, k)
+        vals = -vals
+    return (jnp.moveaxis(vals, -1, axis),
+            jnp.moveaxis(idx.astype(jnp.int64), -1, axis))
+
+
+# --------------------------------------------------------------------------
+# reductions
+# --------------------------------------------------------------------------
+
+def _norm_axes(axes, ndim):
+    if axes is None:
+        return tuple(range(ndim))
+    return tuple(int(a) for a in np.atleast_1d(np.asarray(axes)))
+
+
+def reduce_sum(x, axes=None, keepdims=1):
+    return jnp.sum(x, axis=_norm_axes(axes, x.ndim), keepdims=bool(keepdims))
+
+
+def reduce_mean(x, axes=None, keepdims=1):
+    return jnp.mean(x, axis=_norm_axes(axes, x.ndim), keepdims=bool(keepdims))
+
+
+def reduce_max(x, axes=None, keepdims=1):
+    return jnp.max(x, axis=_norm_axes(axes, x.ndim), keepdims=bool(keepdims))
+
+
+def reduce_min(x, axes=None, keepdims=1):
+    return jnp.min(x, axis=_norm_axes(axes, x.ndim), keepdims=bool(keepdims))
+
+
+# --------------------------------------------------------------------------
+# resize / upsample
+# --------------------------------------------------------------------------
+
+def _is_repeat(idx: np.ndarray, in_size: int) -> int:
+    """If idx == repeat(arange(in_size), k) return k else 0 (fast-path)."""
+    if idx.size % max(in_size, 1):
+        return 0
+    k = idx.size // in_size
+    if k and np.array_equal(idx, np.repeat(np.arange(in_size), k)):
+        return k
+    return 0
+
+
+def _resize_nchw(x, out_hw, scales, mode, coord_mode, nearest_mode):
+    h, w = x.shape[-2:]
+    oh, ow = out_hw
+    kh, kw = scales
+    if mode == "nearest":
+        ri = _rs.nearest_plan(h, oh, kh, coord_mode, nearest_mode)
+        ci = _rs.nearest_plan(w, ow, kw, coord_mode, nearest_mode)
+        rk, ck = _is_repeat(ri, h), _is_repeat(ci, w)
+        if rk and ck:  # integer-factor stamping: broadcast, no gather
+            n, c = x.shape[:2]
+            y = x[:, :, :, None, :, None]
+            y = jnp.broadcast_to(y, (n, c, h, rk, w, ck))
+            return y.reshape(n, c, oh, ow)
+        return x[..., ri[:, None], ci[None, :]]
+    if mode in ("linear", "bilinear"):
+        rlo, rhi, rf = _rs.linear_plan(h, oh, kh, coord_mode)
+        clo, chi, cf = _rs.linear_plan(w, ow, kw, coord_mode)
+        rf = jnp.asarray(rf.reshape(-1, 1), x.dtype)
+        cf = jnp.asarray(cf, x.dtype)
+        rows = x[..., rlo, :] * (1 - rf) + x[..., rhi, :] * rf
+        return rows[..., clo] * (1 - cf) + rows[..., chi] * cf
+    raise ValueError(f"unsupported resize mode {mode!r}")
+
+
+def upsample(x, k, mode="nearest"):
+    k = np.asarray(k, dtype=np.float64).ravel()
+    kh, kw = float(k[-2]), float(k[-1])
+    (oh, ow), sc = _rs.resize_shape(x.shape[-2:], scales=(kh, kw))
+    return _resize_nchw(x, (oh, ow), sc, mode, "asymmetric", "floor")
+
+
+def resize_op(x, roi=None, k=None, size=None, mode="nearest",
+              coordinate_transformation_mode="half_pixel",
+              nearest_mode="round_prefer_floor"):
+    scales = None
+    if k is not None and np.size(k) > 0:
+        kk = np.asarray(k, dtype=np.float64).ravel()
+        scales = (float(kk[-2]), float(kk[-1]))
+    sizes = None
+    if size is not None and np.size(size) > 0:
+        ss = np.asarray(size).astype(np.int64).ravel()
+        sizes = (int(ss[-2]), int(ss[-1]))
+    out_hw, sc = _rs.resize_shape(x.shape[-2:], scales=scales, sizes=sizes)
+    return _resize_nchw(x, out_hw, sc, mode, coordinate_transformation_mode,
+                        nearest_mode)
+
+
+def return_(*xs):
+    return xs

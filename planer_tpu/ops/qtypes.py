@@ -1,0 +1,46 @@
+"""Quantized-tensor pytree type shared by the quantization layer and ops."""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["QTensor"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """Quantized weight payload + broadcast-ready scales (a pytree).
+
+    ``q`` is int8 (or fp8) with the original weight's shape; ``scale`` is
+    float32 already reshaped for broadcast (per-output-channel).  Weights
+    stream HBM->VMEM at quantized width; dequantization happens on-chip —
+    either fused by XLA or inside the Pallas dequant+GEMM kernel.
+    """
+
+    q: object
+    scale: object
+
+    def dequant(self, dtype=jnp.float32):
+        return (self.q.astype(jnp.float32) * self.scale).astype(dtype)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)

@@ -1,0 +1,137 @@
+"""Weight-only quantization: per-output-channel INT8 / FP8.
+
+The reference's only precision control is ``half()`` (net.py:26-29, fp32 ->
+fp16).  Here quantization is a first-class IR transform:
+
+  * :func:`quantize_net` rewrites conv/dense/convtranspose/matmul weights to
+    int8 (or float8_e4m3) with per-output-channel absmax scales, records the
+    mapping in ``graph.quant`` and appends the scales to the init table — so
+    quantized models round-trip through ``.pla`` (quantized-.pla extension,
+    SURVEY §2 #5).
+  * :func:`make_quant_program` builds a TracedProgram whose params carry the
+    int8 payloads + scales; weights stream from HBM as int8 and are
+    dequantized on the fly inside the compiled program (fused by XLA; the
+    Pallas fused dequant+GEMM kernel takes over for the GEMM-shaped ops —
+    see planer_tpu.ops.pallas).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .ir import Graph
+from .ops.qtypes import QTensor
+from .runtime.tracer import TracedProgram
+
+__all__ = ["quantize_net", "dequant_weights", "make_quant_program", "QTensor"]
+
+# ops with a quantizable weight at positional input 1, and the output-channel
+# axis of that weight
+_QUANT_OPS = {
+    "conv": 0,           # OIHW
+    "dense": 0,          # (O, I) — stored transposed by the converter
+    "convtranspose": 1,  # (I, O/g, kh, kw)
+    "matmul": -1,        # (..., I, O): per-column scales on the last axis
+}
+
+_MODES = {
+    "int8": (np.int8, 127.0),
+    "fp8": ("float8_e4m3fn", 448.0),
+}
+
+
+def _weight_users(graph: Graph) -> dict[str, list[tuple[str, int]]]:
+    """init name -> [(opcode, position)] across the flow program."""
+    users: dict[str, list[tuple[str, int]]] = {}
+    layers = graph.layer_map()
+    inits = set(graph.init_names())
+    for e in graph.flow:
+        for li, lname in enumerate(e.layers):
+            src = e.src if li == 0 else e.dst
+            for p, s in enumerate(src):
+                if s in inits:
+                    users.setdefault(s, []).append((layers[lname].op, p))
+    return users
+
+
+def quantize_net(net, mode: str = "int8", skip: tuple = ()):
+    """In-place weight-only quantization of a Net's GEMM-shaped weights."""
+    qdtype, qmax = _MODES[mode]
+    graph: Graph = net.graph
+    users = _weight_users(graph)
+    idx = graph.init_index()
+    new_inits = list(graph.inits)
+    quant = dict(graph.quant)
+
+    for name, ulist in users.items():
+        if name in skip or name in quant:
+            continue
+        # quantize only weights used EXCLUSIVELY as the weight operand (pos 1)
+        # of GEMM-shaped ops — anything else keeps full precision
+        if not ulist or not all(op in _QUANT_OPS and p == 1 for op, p in ulist):
+            continue
+        i = idx[name]
+        w = net.weights[i]
+        if w.dtype != np.float32 or w.ndim < 2:
+            continue
+        out_axis = _QUANT_OPS[ulist[0][0]] % w.ndim
+        red = tuple(a for a in range(w.ndim) if a != out_axis)
+        absmax = np.maximum(np.abs(w).max(axis=red, keepdims=True), 1e-12)
+        scale = (absmax / qmax).astype(np.float32)
+        if mode == "int8":
+            q = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int8)
+        else:
+            import ml_dtypes
+            q = (w / scale).astype(ml_dtypes.float8_e4m3fn)
+        sname = name + "~scale"
+        net.weights[i] = q
+        net.weights.append(scale)
+        new_inits[i] = (name, tuple(q.shape), str(q.dtype))
+        new_inits.append((sname, tuple(scale.shape), str(scale.dtype)))
+        quant[name] = {"scale": sname, "axis": out_axis,
+                       "orig_dtype": "float32", "mode": mode}
+
+    graph.inits = new_inits
+    graph.quant = quant
+    return net
+
+
+def dequant_weights(graph: Graph, weights: list[np.ndarray]) -> list[np.ndarray]:
+    """Full-precision view of a (possibly) quantized weight list — used by
+    the numpy oracle and the host tail."""
+    if not graph.quant:
+        return weights
+    idx = graph.init_index()
+    out = list(weights)
+    for name, info in graph.quant.items():
+        q = weights[idx[name]]
+        s = weights[idx[info["scale"]]]
+        out[idx[name]] = (q.astype(np.float32) * s).astype(info["orig_dtype"])
+    return out
+
+
+def make_quant_program(graph: Graph, weights: list[np.ndarray],
+                       jit_kwargs: dict | None = None) -> TracedProgram:
+    idx = graph.init_index()
+    deq = dequant_weights(graph, weights)
+
+    def param_transform(params: dict) -> dict:
+        out = {}
+        for name, leaf in params.items():
+            info = graph.quant.get(name)
+            if info is None:
+                out[name] = leaf
+            else:
+                out[name] = QTensor(weights[idx[name]],
+                                    weights[idx[info["scale"]]])
+        return out
+
+    def materialize(name, leaf, op):
+        if isinstance(leaf, QTensor):
+            if op in _QUANT_OPS:
+                return leaf  # quant-aware op consumes int8 directly
+            return leaf.dequant()
+        return leaf
+
+    return TracedProgram(graph, deq, weight_materializer=materialize,
+                         param_transform=param_transform,
+                         jit_kwargs=jit_kwargs)

@@ -1,0 +1,144 @@
+"""Model zoo: cache dir, HTTP catalog, markdown manifests, auto-download.
+
+Capability parity with the reference zoo machinery (__init__.py:46-141):
+``~/.planer_zoo`` cache, a catalog URL mapping short names to download URLs,
+markdown-table file manifests (``get_source``), ``download``/``downloads``
+with a progress callback, and ``Model()``/``load()`` that decorate an
+imported ``planer_zoo.*`` package with source/list_source/download and
+auto-load.  Network use is optional and failure-gated (air-gapped
+environments just use pre-populated cache dirs).
+"""
+from __future__ import annotations
+
+import importlib
+import inspect
+import json
+import os
+import pathlib
+import urllib.request
+
+__all__ = ["root", "Model", "load", "download", "downloads", "source",
+           "list_source", "get_source", "planer_catlog"]
+
+root = str(pathlib.Path.home()) + "/.planer_zoo"
+os.makedirs(root, exist_ok=True)
+
+CATALOG_URL = "http://planer.imagepy.org/catlog.txt"
+
+
+def progress(i, n, _state=[None, 0]):
+    if i >= n:
+        print(f"\rdownload: done ({n})")
+    else:
+        print(f"\rdownload: {i}/{n}", end="")
+
+
+def download(url, path, info=print, progress=progress):
+    info(f"download from {url}")
+    urllib.request.urlretrieve(
+        url, path, lambda a, b, c: progress(int(100.0 * a * b / max(c, 1)), 100))
+
+
+def planer_catlog() -> dict:
+    req = urllib.request.Request(CATALOG_URL,
+                                 headers={"User-Agent": "Mozilla/5.0"})
+    return json.loads(urllib.request.urlopen(req).read())
+
+
+def source(mroot: str, lst: list) -> list:
+    """Annotate a manifest with installed-state: rows become
+    [name, required, installed, url]."""
+    for i in lst:
+        if len(i) == 3:
+            i.insert(2, False)
+        i[2] = os.path.exists(mroot + "/" + i[0])
+    return lst
+
+
+def list_source(root: str, lst: list):
+    print("%-20s%-10s%-10s\n" % ("file name", "required", "installed")
+          + "-" * 40)
+    for i in source(root, lst):
+        print("%-20s%-10s%-10s" % tuple(str(x) for x in i[:3]))
+
+
+def get_source(path: str) -> list:
+    """Parse the |File|Required|…| markdown table of a zoo package readme."""
+    with open(path) as f:
+        cont = f.read().split("\n")
+    files = []
+    i = 0
+    for i in range(len(cont)):
+        if "|File|" in cont[i].replace(" ", ""):
+            break
+    for line in cont[i:]:
+        if "|" not in line:
+            break
+        if "](" not in line:
+            continue
+        cells = line.split("|")
+        nameurl = cells[1]
+        req = cells[2].strip() != ""
+        name = nameurl.split("](")[0].split("[")[1]
+        url = nameurl.split("](")[1].split(")")[0]
+        files.append([name, req, url])
+    return files
+
+
+def downloads(mroot, lst, names="required", force=False, info=print,
+              progress=progress):
+    source(mroot, lst)
+    if names == "all":
+        sel = list(lst)
+    elif names == "required":
+        sel = [i for i in lst if i[1]]
+    else:
+        if isinstance(names, str):
+            names = [names]
+        sel = [i for i in lst if i[0] in names]
+    if not force:
+        sel = [i for i in sel if not i[2]]
+    os.makedirs(mroot, exist_ok=True)
+    if not sel:
+        return
+    catlog = None
+    for name, _req, _inst, url in sel:
+        if url[:4] != "http":
+            if catlog is None:
+                catlog = planer_catlog()
+            url = catlog[url]
+        download(url, mroot + "/" + name, info, progress)
+
+
+def Model(model, auto: bool = True):
+    """Decorate an imported zoo package with source/list_source/download and
+    (auto=True) download required files + call its load()."""
+    if hasattr(model, "list_source"):
+        return model
+    name = model.__package__.replace("planer_zoo.", "")
+    md = model.__file__.replace("__init__.py", "readme.md")
+    mroot = root + "/" + "/".join(name.split("."))
+    if hasattr(model, "source") and not callable(model.source):
+        lst = [list(i) for i in model.source]
+    else:
+        lst = get_source(md)
+    for i in lst:
+        if i[-1] == "":
+            i[-1] = model.__package__.replace(".", "/") + "/" + i[0]
+    model.source = lambda m=mroot, l=lst: source(m, l)
+    oroot, model.root = getattr(model, "root", None), mroot
+    for m in {inspect.getmodule(getattr(model, a)) for a in dir(model)}:
+        if m is not None and getattr(m, "root", None) == oroot and oroot:
+            m.root = mroot
+    model.list_source = lambda r=mroot, l=lst: list_source(r, l)
+    model.download = (lambda names="required", force=False, info=print,
+                      progress=progress, m=mroot:
+                      downloads(m, model.source(), names, force, info, progress))
+    if auto:
+        model.download()
+        model.load()
+    return model
+
+
+def load(name: str, auto: bool = True):
+    return Model(importlib.import_module(name), auto)

@@ -1,0 +1,241 @@
+"""Per-op parity: jax implementations vs the numpy oracle.
+
+Covers every degree of freedom of the hot ops (group/stride/dilation/
+asymmetric pads for conv — reference layer.py:22/util.py:17 — plus the
+ONNX resize coordinate-mode maze and LSTM directions)."""
+import numpy as np
+import pytest
+
+from planer_tpu.ops import numpy_ops as nops
+from planer_tpu.ops import jax_ops as jops
+
+
+def assert_close(a, b, tol=2e-5):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, f"{a.shape} vs {b.shape}"
+    np.testing.assert_allclose(a, b, rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("case", [
+    dict(shape=(1, 3, 16, 16), O=8, k=3, group=1, strides=(1, 1),
+         dilations=(1, 1), pads=(1, 1, 1, 1)),
+    dict(shape=(2, 4, 15, 17), O=6, k=3, group=1, strides=(2, 2),
+         dilations=(1, 1), pads=(0, 1, 1, 0)),       # odd HW, asym pads
+    dict(shape=(1, 8, 14, 14), O=8, k=3, group=4, strides=(1, 1),
+         dilations=(1, 1), pads=(1, 1, 1, 1)),       # group conv
+    dict(shape=(1, 4, 20, 20), O=4, k=3, group=1, strides=(1, 1),
+         dilations=(2, 2), pads=(2, 2, 2, 2)),       # dilation
+    dict(shape=(1, 3, 224, 224), O=16, k=7, group=1, strides=(2, 2),
+         dilations=(1, 1), pads=(3, 3, 3, 3)),       # resnet stem
+    dict(shape=(1, 5, 9, 9), O=10, k=1, group=1, strides=(1, 1),
+         dilations=(1, 1), pads=(0, 0, 0, 0)),       # 1x1
+])
+def test_conv2d(rng, case):
+    x = rng.standard_normal(case["shape"]).astype(np.float32)
+    C = case["shape"][1]
+    K = rng.standard_normal(
+        (case["O"], C // case["group"], case["k"], case["k"])
+    ).astype(np.float32) * 0.1
+    B = rng.standard_normal(case["O"]).astype(np.float32)
+    kw = {k: case[k] for k in ("group", "strides", "dilations", "pads")}
+    assert_close(nops.conv2d(x, K, B, **kw), jops.conv2d(x, K, B, **kw),
+                 tol=1e-3 if case["shape"][-1] > 100 else 2e-5)
+
+
+@pytest.mark.parametrize("case", [
+    dict(C=4, O=6, k=2, strides=(2, 2), pads=(0, 0, 0, 0),
+         output_padding=(0, 0), group=1),
+    dict(C=4, O=4, k=3, strides=(2, 2), pads=(1, 1, 1, 1),
+         output_padding=(1, 1), group=1),
+    dict(C=6, O=6, k=2, strides=(2, 2), pads=(0, 0, 0, 0),
+         output_padding=(0, 0), group=3),
+])
+def test_conv_transpose(rng, case):
+    x = rng.standard_normal((1, case["C"], 7, 9)).astype(np.float32)
+    K = rng.standard_normal(
+        (case["C"], case["O"] // case["group"], case["k"], case["k"])
+    ).astype(np.float32) * 0.2
+    B = rng.standard_normal(case["O"]).astype(np.float32)
+    kw = {k: case[k] for k in ("strides", "pads", "output_padding", "group")}
+    assert_close(nops.conv_transpose2d(x, K, B, **kw),
+                 jops.conv_transpose2d(x, K, B, **kw))
+
+
+def test_dense_matmul(rng):
+    x = rng.standard_normal((3, 32)).astype(np.float32)
+    K = rng.standard_normal((10, 32)).astype(np.float32)
+    B = rng.standard_normal(10).astype(np.float32)
+    assert_close(nops.dense(x, K, B), jops.dense(x, K, B))
+    y = rng.standard_normal((32, 7)).astype(np.float32)
+    assert_close(nops.matmul(x, y), jops.matmul(x, y))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2)),
+    dict(w=(3, 3), pads=(1, 1, 1, 1), strides=(2, 2)),  # resnet stem pool
+    dict(w=(3, 3), pads=(0, 1, 1, 0), strides=(1, 1)),
+])
+def test_pools(rng, kw):
+    x = rng.standard_normal((2, 3, 13, 15)).astype(np.float32)
+    assert_close(nops.maxpool(x, **kw), jops.maxpool(x, **kw))
+    assert_close(nops.averagepool(x, **kw), jops.averagepool(x, **kw))
+    assert_close(nops.averagepool(x, count_include_pad=0, **kw),
+                 jops.averagepool(x, count_include_pad=0, **kw))
+    assert_close(nops.global_average_pool(x), jops.global_average_pool(x))
+
+
+@pytest.mark.parametrize("direction", ["forward", "reverse", "bidirectional"])
+def test_lstm(rng, direction):
+    L, N, D, H = 5, 2, 8, 6
+    nd = 2 if direction == "bidirectional" else 1
+    X = rng.standard_normal((L, N, D)).astype(np.float32)
+    W = rng.standard_normal((nd, 4 * H, D)).astype(np.float32) * 0.3
+    R = rng.standard_normal((nd, 4 * H, H)).astype(np.float32) * 0.3
+    B = rng.standard_normal((nd, 8 * H)).astype(np.float32) * 0.1
+    n_out = nops.lstm(X, W, R, B, direction=direction)
+    j_out = jops.lstm(X, W, R, B, direction=direction)
+    for a, b in zip(n_out, j_out):
+        assert_close(a, b, tol=1e-4)
+
+
+UNARY = ["relu", "sigmoid", "tanh", "sqrt", "exp", "erf", "reciprocal"]
+
+
+@pytest.mark.parametrize("name", UNARY)
+def test_unary(rng, name):
+    x = (rng.standard_normal((3, 17)).astype(np.float32)) * 2
+    if name in ("sqrt", "log"):
+        x = np.abs(x) + 0.1
+    assert_close(getattr(nops, name)(x), getattr(jops, name)(x), tol=1e-5)
+
+
+def test_activations_misc(rng):
+    x = rng.standard_normal((4, 9)).astype(np.float32) * 3
+    assert_close(nops.leakyrelu(x, alpha=0.1), jops.leakyrelu(x, alpha=0.1))
+    assert_close(nops.hardsigmoid(x, 0.2, 0.5), jops.hardsigmoid(x, 0.2, 0.5))
+    assert_close(nops.softmax(x, axis=1), jops.softmax(x, axis=1), tol=1e-5)
+    assert_close(nops.logsoftmax(x, axis=0), jops.logsoftmax(x, axis=0),
+                 tol=1e-5)
+    assert_close(nops.clip(x, min=-1.0, max=1.0), jops.clip(x, min=-1.0, max=1.0))
+    assert_close(nops.log(np.abs(x) + 1), jops.log(np.abs(x) + 1), tol=1e-6)
+    assert_close(nops.power(np.abs(x), 2.0), jops.power(np.abs(x), 2.0),
+                 tol=1e-4)
+
+
+def test_norms(rng):
+    x = rng.standard_normal((2, 5, 8, 8)).astype(np.float32)
+    K = rng.standard_normal((1, 5, 1, 1)).astype(np.float32)
+    B = rng.standard_normal((1, 5, 1, 1)).astype(np.float32)
+    assert_close(nops.batchnorm(x, K, B), jops.batchnorm(x, K, B))
+    s = rng.standard_normal(5).astype(np.float32)
+    b = rng.standard_normal(5).astype(np.float32)
+    assert_close(nops.instance_normalization(x, s, b),
+                 jops.instance_normalization(x, s, b), tol=1e-4)
+
+
+def test_shape_ops(rng):
+    x = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    assert_close(nops.reshape(x, np.array([0, -1])),
+                 jops.reshape(x, np.array([0, -1])))
+    assert_close(nops.flatten(x), jops.flatten(x))
+    assert_close(nops.transpose(x, (0, 2, 3, 1)), jops.transpose(x, (0, 2, 3, 1)))
+    assert_close(nops.concat(x, x, axis=1), jops.concat(x, x, axis=1))
+    for a, b in zip(nops.split(x, split=[1, 2], axis=1),
+                    jops.split(x, split=[1, 2], axis=1)):
+        assert_close(a, b)
+    assert_close(nops.gather(x, np.array([2, 0]), axis=1),
+                 jops.gather(x, np.array([2, 0]), axis=1))
+    st, en, ax, sp = (np.array([1, 0]), np.array([3, 4]), np.array([1, 3]),
+                      np.array([1, 2]))
+    assert_close(nops.slice_(x, st, en, ax, sp), jops.slice_(x, st, en, ax, sp))
+    assert_close(nops.expand(x[:, :1], np.array([2, 3, 4, 5])),
+                 jops.expand(x[:, :1], np.array([2, 3, 4, 5])))
+    assert_close(nops.tile(x[0, 0], np.array([2, 2])),
+                 jops.tile(x[0, 0], np.array([2, 2])))
+    pads = np.array([0, 0, 1, 2, 0, 0, 3, 4])
+    assert_close(nops.pad(x, pads, 1.5), jops.pad(x, pads, 1.5))
+    assert_close(nops.squeeze(x[:1], axes=[0]), jops.squeeze(x[:1], axes=[0]))
+    assert_close(nops.unsqueeze(x, axes=[0, 4]), jops.unsqueeze(x, axes=[0, 4]))
+    assert_close(nops.constant_of_shape(np.array([2, 3]), 7.0),
+                 jops.constant_of_shape(np.array([2, 3]), 7.0))
+    assert_close(nops.arange(0, 10, 2), jops.arange(0, 10, 2))
+    assert_close(nops.cast(x, "int32"), jops.cast(x, "int32"))
+
+
+def test_scatternd_topk(rng):
+    data = rng.standard_normal((4, 5)).astype(np.float32)
+    indices = np.array([[0], [2]])
+    updates = rng.standard_normal((2, 5)).astype(np.float32)
+    assert_close(nops.scatternd(data, indices, updates),
+                 jops.scatternd(data, indices, updates))
+    x = rng.standard_normal((3, 10)).astype(np.float32)
+    nv, ni = nops.topk(x, np.array([4]), axis=-1, largest=1)
+    jv, ji = jops.topk(x, np.array([4]), axis=-1, largest=1)
+    assert_close(nv, jv)
+    np.testing.assert_array_equal(np.asarray(ni), np.asarray(ji))
+    nv, ni = nops.topk(x, np.array([3]), axis=-1, largest=0)
+    jv, ji = jops.topk(x, np.array([3]), axis=-1, largest=0)
+    assert_close(nv, jv)
+
+
+def test_reductions(rng):
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    for name in ("reduce_sum", "reduce_mean", "reduce_max", "reduce_min"):
+        nf, jf = getattr(nops, name), getattr(jops, name)
+        assert_close(nf(x, axes=[1], keepdims=1), jf(x, axes=[1], keepdims=1))
+        assert_close(nf(x, axes=[0, 2], keepdims=0),
+                     jf(x, axes=[0, 2], keepdims=0))
+
+
+@pytest.mark.parametrize("mode", ["nearest", "linear"])
+@pytest.mark.parametrize("coord", ["half_pixel", "asymmetric",
+                                   "align_corners", "pytorch_half_pixel"])
+def test_resize_modes(rng, mode, coord):
+    x = rng.standard_normal((1, 2, 7, 9)).astype(np.float32)
+    k = np.array([1.0, 1.0, 2.0, 2.0], np.float32)
+    n = nops.resize_op(x, None, k, None, mode=mode,
+                       coordinate_transformation_mode=coord)
+    j = jops.resize_op(x, None, k, None, mode=mode,
+                       coordinate_transformation_mode=coord)
+    assert_close(n, j, tol=1e-5)
+
+
+@pytest.mark.parametrize("nearest_mode", ["round_prefer_floor",
+                                          "round_prefer_ceil", "floor", "ceil"])
+def test_resize_nearest_modes(rng, nearest_mode):
+    x = rng.standard_normal((1, 1, 6, 6)).astype(np.float32)
+    k = np.array([1.0, 1.0, 1.5, 2.5], np.float32)
+    n = nops.resize_op(x, None, k, None, mode="nearest",
+                       nearest_mode=nearest_mode)
+    j = jops.resize_op(x, None, k, None, mode="nearest",
+                       nearest_mode=nearest_mode)
+    assert_close(n, j)
+
+
+def test_resize_sizes_and_upsample(rng):
+    x = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+    n = nops.resize_op(x, None, np.zeros(0), np.array([1, 3, 13, 17]),
+                       mode="linear")
+    j = jops.resize_op(x, None, np.zeros(0), np.array([1, 3, 13, 17]),
+                       mode="linear")
+    assert_close(n, j, tol=1e-5)
+    k = np.array([1, 1, 2, 2], np.float32)
+    assert_close(nops.upsample(x, k), jops.upsample(x, k))
+    assert_close(nops.upsample(x, k, mode="linear"),
+                 jops.upsample(x, k, mode="linear"), tol=1e-5)
+
+
+def test_compare_ops(rng):
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    b = rng.standard_normal((3, 4)).astype(np.float32)
+    assert_close(nops.add(a, b), jops.add(a, b))
+    assert_close(nops.sub(a, b), jops.sub(a, b))
+    assert_close(nops.mul(a, b), jops.mul(a, b))
+    assert_close(nops.div(a, b + 3), jops.div(a, b + 3), tol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nops.greater(a, b)),
+                                  np.asarray(jops.greater(a, b)))
+    np.testing.assert_array_equal(np.asarray(nops.greater_or_equal(a, b)),
+                                  np.asarray(jops.greater_or_equal(a, b)))
+    np.testing.assert_array_equal(np.asarray(nops.equal(a, a)),
+                                  np.asarray(jops.equal(a, a)))
+    assert_close(nops.where(a > 0, a, b), jops.where(a > 0, a, b))
