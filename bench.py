@@ -1,0 +1,133 @@
+"""Benchmark: INT8 ResNet-18 images/s/chip @224 on the default (TPU) backend.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": N}
+
+``vs_baseline`` is the fraction of the single-chip roofline
+(peak_bf16_flops / flops_per_image, flops taken from XLA cost analysis of
+the exact compiled program) — the reference publishes no numeric baselines
+(BASELINE.md), so roofline fraction is the honest denominator.
+
+Measurement method: this environment reaches the TPU through a relay with
+~45 ms per-dispatch round-trip, so naive per-call timing measures the tunnel,
+not the chip.  The forward step is therefore wrapped in an on-device
+``lax.fori_loop`` (each iteration data-depends on the previous so XLA cannot
+hoist it) and step time is the difference quotient between two loop lengths —
+pure on-device time, no host I/O in the measured region.
+
+Diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+PEAK_FLOPS = {
+    "v5e": 197e12,   # bf16 MXU peak per chip
+    "v5p": 459e12,
+    "v4": 275e12,
+}
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    peak = PEAK_FLOPS.get(gen, PEAK_FLOPS["v5e"])
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from jax import lax
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    from planer_tpu import models
+
+    net = models.resnet18()
+    net.quantize("int8")
+    prog = net.program
+    fn_, _ = prog._build_fn({}, [])
+    params = prog.params
+
+    def make_loop(n_iters):
+        def step(i, x):
+            out = fn_(params, x)[0]
+            # data-depend the next iteration on this output so the loop body
+            # cannot be hoisted as loop-invariant
+            return x + jnp.sum(out).astype(x.dtype) * 1e-30
+
+        @jax.jit
+        def loop(x):
+            return lax.fori_loop(0, n_iters, step, x)
+
+        return loop
+
+    def timed(loop, x_dev, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = loop(x_dev)
+            out.block_until_ready()
+            float(np.asarray(out[(0,) * out.ndim]))  # force through the relay
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    N1, N2 = 2, 12
+    results = {}
+    flops_per_img = None
+    for batch in (1, 8, 32):
+        x = np.random.default_rng(0).standard_normal(
+            (batch, 3, 224, 224)).astype(np.float32)
+        x_dev = jax.device_put(jnp.asarray(x))
+        loop1, loop2 = make_loop(N1), make_loop(N2)
+        t0 = time.perf_counter()
+        timed(loop1, x_dev, reps=1)  # compile + warm
+        timed(loop2, x_dev, reps=1)
+        log(f"batch {batch}: compile+warm {time.perf_counter()-t0:.1f}s")
+        t1 = timed(loop1, x_dev)
+        t2 = timed(loop2, x_dev)
+        step = max((t2 - t1) / (N2 - N1), 1e-9)
+        results[batch] = step
+        log(f"batch {batch}: on-device step {step*1e3:.3f} ms "
+            f"({batch/step:.1f} img/s)  [t({N1})={t1*1e3:.1f}ms "
+            f"t({N2})={t2*1e3:.1f}ms]")
+        if flops_per_img is None:
+            try:
+                ca = prog.cost_analysis(x)
+                if isinstance(ca, list):
+                    ca = ca[0]
+                flops_per_img = float(ca.get("flops", 0.0)) / batch
+            except Exception as e:
+                log(f"cost_analysis failed: {e}")
+
+    if not flops_per_img:
+        flops_per_img = 3.64e9  # 2x MACs, ResNet-18 @224 textbook
+    best_batch = max(results, key=lambda b: b / results[b])
+    best_ips = best_batch / results[best_batch]
+    lat1 = results.get(1, 0.0)
+    roofline_ips = peak / flops_per_img
+    log(f"flops/img {flops_per_img/1e9:.2f}G  roofline {roofline_ips:.0f} "
+        f"img/s  best batch {best_batch}  p50 batch-1 on-device latency "
+        f"{lat1*1e3:.3f} ms")
+
+    print(json.dumps({
+        "metric": "resnet18_int8_images_per_sec_per_chip",
+        "value": round(best_ips, 1),
+        "unit": "images/s",
+        "vs_baseline": round(best_ips / roofline_ips, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""YOLO-v3 host-side postprocessing: box decode + NMS.
+
+The data-dependent tail the XLA program cannot hold (variable box counts);
+runs in numpy on the three head tensors the jitted graph produces.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .yolov3 import YOLO_ANCHORS
+
+__all__ = ["decode_heads", "nms", "detect"]
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def decode_heads(heads, img_size: int = 416, num_classes: int | None = None,
+                 anchors=None):
+    """heads: [stride32, stride16, stride8] raw tensors (N, 3*(5+C), H, W).
+
+    Returns (N, total_boxes, 5 + C): [cx, cy, w, h, obj, cls...] in pixels.
+    ``num_classes`` defaults to the value implied by the head channel count.
+    """
+    anchors = anchors or YOLO_ANCHORS
+    if num_classes is None:
+        num_classes = np.asarray(heads[0]).shape[1] // 3 - 5
+    outs = []
+    for t, stride in zip(heads, (32, 16, 8)):
+        t = np.asarray(t)
+        n, ch, h, w = t.shape
+        na = len(anchors[stride])
+        t = t.reshape(n, na, 5 + num_classes, h, w).transpose(0, 1, 3, 4, 2)
+        gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        xy = (_sigmoid(t[..., 0:2])
+              + np.stack([gx, gy], -1)[None, None]) * stride
+        a = np.asarray(anchors[stride], np.float32).reshape(1, na, 1, 1, 2)
+        wh = np.exp(np.clip(t[..., 2:4], -20, 20)) * a
+        obj = _sigmoid(t[..., 4:5])
+        cls = _sigmoid(t[..., 5:])
+        dec = np.concatenate([xy, wh, obj, cls], axis=-1)
+        outs.append(dec.reshape(n, -1, 5 + num_classes))
+    return np.concatenate(outs, axis=1)
+
+
+def nms(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
+    """Greedy NMS on [cx, cy, w, h] boxes; returns kept indices."""
+    x1 = boxes[:, 0] - boxes[:, 2] / 2
+    y1 = boxes[:, 1] - boxes[:, 3] / 2
+    x2 = boxes[:, 0] + boxes[:, 2] / 2
+    y2 = boxes[:, 1] + boxes[:, 3] / 2
+    areas = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-scores)[:top_k * 4]
+    keep = []
+    while order.size and len(keep) < top_k:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        iou = inter / (areas[i] + areas[order[1:]] - inter + 1e-9)
+        order = order[1:][iou <= iou_thresh]
+    return np.asarray(keep, np.int64)
+
+
+def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
+           num_classes: int | None = None):
+    """Full pipeline: jitted forward -> host decode -> per-class NMS.
+
+    ``img``: (N, 3, S, S) float32.  Returns a list (per image) of
+    (x1, y1, x2, y2, score, class_id) float arrays.
+    """
+    heads = net(img)
+    dec = decode_heads(heads, img_size=img.shape[-1], num_classes=num_classes)
+    results = []
+    for bi in range(dec.shape[0]):
+        d = dec[bi]
+        scores = d[:, 4:5] * d[:, 5:]
+        cls_id = scores.argmax(1)
+        cls_sc = scores.max(1)
+        m = cls_sc >= conf_thresh
+        d, cls_id, cls_sc = d[m], cls_id[m], cls_sc[m]
+        out = []
+        for c in np.unique(cls_id):
+            mc = cls_id == c
+            keep = nms(d[mc, :4], cls_sc[mc], iou_thresh)
+            bx = d[mc][keep]
+            sc = cls_sc[mc][keep]
+            x1 = bx[:, 0] - bx[:, 2] / 2
+            y1 = bx[:, 1] - bx[:, 3] / 2
+            x2 = bx[:, 0] + bx[:, 2] / 2
+            y2 = bx[:, 1] + bx[:, 3] / 2
+            out.append(np.stack([x1, y1, x2, y2, sc,
+                                 np.full_like(sc, c, dtype=np.float32)], 1))
+        results.append(np.concatenate(out, 0) if out
+                       else np.zeros((0, 6), np.float32))
+    return results
