@@ -60,28 +60,42 @@ def main():
     fn_, _ = prog._build_fn({}, [])
     params = prog.params
 
-    def make_loop(n_iters):
+    @jax.jit
+    def loop(x, n):
+        # n is a runtime arg: one compile serves every loop length
         def step(i, x):
-            out = fn_(params, x)[0]
+            out = jax.tree.leaves(fn_(params, x))[0]
             # data-depend the next iteration on this output so the loop body
             # cannot be hoisted as loop-invariant
             return x + jnp.sum(out).astype(x.dtype) * 1e-30
+        return lax.fori_loop(0, n, step, x)
 
-        @jax.jit
-        def loop(x):
-            return lax.fori_loop(0, n_iters, step, x)
-
-        return loop
-
-    def timed(loop, x_dev, reps=3):
+    def timed(x_dev, n, reps=3):
+        n = jnp.asarray(n, jnp.int32)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = loop(x_dev)
+            out = loop(x_dev, n)
             out.block_until_ready()
             float(np.asarray(out[(0,) * out.ndim]))  # force through the relay
             ts.append(time.perf_counter() - t0)
         return min(ts)
+
+    def flops_per_image(batch):
+        """FLOPs of one forward from a (fast) CPU compile of the same fn."""
+        try:
+            cpu = jax.devices("cpu")[0]
+            x = jax.ShapeDtypeStruct((batch, 3, 224, 224), np.float32)
+            cparams = jax.tree.map(np.asarray, params)
+            with jax.default_device(cpu):
+                ca = (jax.jit(fn_).lower(cparams, x).compile()
+                      .cost_analysis())
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)) / batch
+        except Exception as e:
+            log(f"cost_analysis failed: {e}")
+            return None
 
     N1, N2 = 2, 12
     results = {}
@@ -90,26 +104,18 @@ def main():
         x = np.random.default_rng(0).standard_normal(
             (batch, 3, 224, 224)).astype(np.float32)
         x_dev = jax.device_put(jnp.asarray(x))
-        loop1, loop2 = make_loop(N1), make_loop(N2)
         t0 = time.perf_counter()
-        timed(loop1, x_dev, reps=1)  # compile + warm
-        timed(loop2, x_dev, reps=1)
+        timed(x_dev, N1, reps=1)  # compile + warm
         log(f"batch {batch}: compile+warm {time.perf_counter()-t0:.1f}s")
-        t1 = timed(loop1, x_dev)
-        t2 = timed(loop2, x_dev)
+        t1 = timed(x_dev, N1)
+        t2 = timed(x_dev, N2)
         step = max((t2 - t1) / (N2 - N1), 1e-9)
         results[batch] = step
         log(f"batch {batch}: on-device step {step*1e3:.3f} ms "
             f"({batch/step:.1f} img/s)  [t({N1})={t1*1e3:.1f}ms "
             f"t({N2})={t2*1e3:.1f}ms]")
         if flops_per_img is None:
-            try:
-                ca = prog.cost_analysis(x)
-                if isinstance(ca, list):
-                    ca = ca[0]
-                flops_per_img = float(ca.get("flops", 0.0)) / batch
-            except Exception as e:
-                log(f"cost_analysis failed: {e}")
+            flops_per_img = flops_per_image(batch)
 
     if not flops_per_img:
         flops_per_img = 3.64e9  # 2x MACs, ResNet-18 @224 textbook

@@ -27,6 +27,10 @@ from .runtime.executor import NumpyExecutor
 from .runtime.tracer import TracedProgram, analyze
 from .models.builder import GraphBuilder
 from .io import read_net, onnx2pla, save_pla
+from .frontend.torch2planer import torch2planer
+from .runtime.serving import ServingEngine
+from .runtime import profiler
+from .utils.config import Config, get_config, set_config
 from .utils.tile import tile, grid_slice, make_slice
 from .utils.image import resize, mapcoord, uniform_filter, gaussian_filter
 from .utils.zoo import Model, load, download, downloads, source, list_source, get_source

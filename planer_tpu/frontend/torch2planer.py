@@ -1,0 +1,338 @@
+"""torch2planer: convert a PyTorch module directly to the flow IR.
+
+The reference README documents ``torch2planer(net, 'resnet18', x)``
+(readme.md:65-71) but ships no implementation (SURVEY preamble) — its users
+export through ONNX.  This environment has torch but no ``onnx`` package, so
+this converter goes straight from a ``torch.fx`` symbolic trace to the IR:
+call_module / call_function / call_method nodes are lowered to opcodes,
+BatchNorm2d running stats are folded into per-channel affine (K, B) exactly
+like the ONNX converter does, and weights are emitted in the converter's
+layouts (dense weight transposed; ConvTranspose (I, O/g, kh, kw)).
+
+Coverage: the module/function vocabulary of the reference's model families
+(conv/linear/bn/activations/pool/upsample/flatten/cat/add/mul/reshape/...).
+Unknown nodes raise with the fx target name.
+"""
+from __future__ import annotations
+
+import operator
+
+import numpy as np
+
+from ..ir import Graph, Layer, FlowEdge, pack_weights
+
+__all__ = ["torch2planer", "fx_to_graph"]
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+class _Lowerer:
+    def __init__(self, gm, example_shapes):
+        import torch
+        self.torch = torch
+        self.gm = gm
+        self.inits: list = []
+        self.weights: list = []
+        self.layers: list = []
+        self.flow: list = []
+        self.inputs: list = []
+        self.env: dict = {}           # fx node name -> IR tensor name
+        self.shapes: dict = example_shapes or {}
+        self._ctr = 0
+
+    def fresh(self, hint):
+        self._ctr += 1
+        return f"{hint}_{self._ctr}"
+
+    def add_weight(self, name, arr):
+        arr = np.asarray(arr)
+        self.inits.append((name, tuple(arr.shape), str(arr.dtype)))
+        self.weights.append(arr if arr.ndim else arr.reshape(1))
+        return name
+
+    def emit(self, opcode, srcs, n_out=1, **kwargs):
+        lname = self.fresh(opcode)
+        self.layers.append(Layer(lname, opcode, kwargs))
+        dsts = [self.fresh("t") for _ in range(n_out)]
+        self.flow.append(FlowEdge(list(srcs), [lname], dsts,
+                                  src_scalar=len(srcs) == 1,
+                                  dst_scalar=n_out == 1))
+        return dsts[0] if n_out == 1 else tuple(dsts)
+
+    # ------------------------------------------------------------- modules
+    def lower_module(self, node, mod):
+        nn = self.torch.nn
+        x = self.env[node.args[0].name]
+        name = node.target.replace(".", "_")
+
+        if isinstance(mod, nn.Conv2d):
+            W = self.add_weight(f"{name}.w", _np(mod.weight))
+            srcs = [x, W]
+            if mod.bias is not None:
+                srcs.append(self.add_weight(f"{name}.b", _np(mod.bias)))
+            ph, pw = (mod.padding if isinstance(mod.padding, tuple)
+                      else (mod.padding, mod.padding))
+            return self.emit("conv", srcs, group=mod.groups,
+                             strides=list(mod.stride),
+                             dilations=list(mod.dilation),
+                             pads=[ph, pw, ph, pw])
+        if isinstance(mod, nn.ConvTranspose2d):
+            W = self.add_weight(f"{name}.w", _np(mod.weight))
+            srcs = [x, W]
+            if mod.bias is not None:
+                srcs.append(self.add_weight(f"{name}.b", _np(mod.bias)))
+            ph, pw = (mod.padding if isinstance(mod.padding, tuple)
+                      else (mod.padding, mod.padding))
+            oph, opw = (mod.output_padding
+                        if isinstance(mod.output_padding, tuple)
+                        else (mod.output_padding, mod.output_padding))
+            return self.emit("convtranspose", srcs, group=mod.groups,
+                             strides=list(mod.stride),
+                             dilations=list(mod.dilation),
+                             pads=[ph, pw, ph, pw],
+                             output_padding=[oph, opw])
+        if isinstance(mod, nn.Linear):
+            W = self.add_weight(f"{name}.w", _np(mod.weight))  # (O, I)
+            srcs = [x, W]
+            if mod.bias is not None:
+                srcs.append(self.add_weight(f"{name}.b", _np(mod.bias)))
+            return self.emit("dense", srcs,
+                             shp=list(_np(mod.weight).shape[::-1]))
+        if isinstance(mod, (nn.BatchNorm2d, nn.BatchNorm1d)):
+            # fold running stats into affine (same math as the ONNX path)
+            eps = mod.eps
+            var, mean = _np(mod.running_var), _np(mod.running_mean)
+            if mod.affine:
+                s, b_ = _np(mod.weight), _np(mod.bias)
+            else:
+                s, b_ = np.ones_like(var), np.zeros_like(var)
+            inv = 1.0 / np.sqrt(var + eps)
+            K = (s * inv).reshape(1, -1, 1, 1).astype(np.float32)
+            B = (b_ - s * mean * inv).reshape(1, -1, 1, 1).astype(np.float32)
+            Kn = self.add_weight(f"{name}.foldK", K)
+            Bn = self.add_weight(f"{name}.foldB", B)
+            return self.emit("batchnorm", [x, Kn, Bn])
+        if isinstance(mod, nn.InstanceNorm2d):
+            c = mod.num_features
+            s = _np(mod.weight) if mod.affine else np.ones(c, np.float32)
+            b_ = _np(mod.bias) if mod.affine else np.zeros(c, np.float32)
+            Sn = self.add_weight(f"{name}.s", s)
+            Bn = self.add_weight(f"{name}.b", b_)
+            return self.emit("instancenormalization", [x, Sn, Bn],
+                             epsilon=mod.eps)
+        if isinstance(mod, nn.ReLU):
+            return self.emit("relu", [x])
+        if isinstance(mod, nn.LeakyReLU):
+            return self.emit("leakyrelu", [x], alpha=mod.negative_slope)
+        if isinstance(mod, nn.Sigmoid):
+            return self.emit("sigmoid", [x])
+        if isinstance(mod, nn.Tanh):
+            return self.emit("tanh", [x])
+        if isinstance(mod, nn.Softmax):
+            return self.emit("softmax", [x], axis=mod.dim)
+        if isinstance(mod, nn.MaxPool2d):
+            k = mod.kernel_size if isinstance(mod.kernel_size, tuple) \
+                else (mod.kernel_size,) * 2
+            s = mod.stride if isinstance(mod.stride, tuple) \
+                else (mod.stride or mod.kernel_size,) * 2
+            p = mod.padding if isinstance(mod.padding, tuple) \
+                else (mod.padding,) * 2
+            return self.emit("maxpool", [x], w=list(k),
+                             pads=[p[0], p[1], p[0], p[1]], strides=list(s))
+        if isinstance(mod, nn.AvgPool2d):
+            k = mod.kernel_size if isinstance(mod.kernel_size, tuple) \
+                else (mod.kernel_size,) * 2
+            s = mod.stride if isinstance(mod.stride, tuple) \
+                else (mod.stride or mod.kernel_size,) * 2
+            p = mod.padding if isinstance(mod.padding, tuple) \
+                else (mod.padding,) * 2
+            return self.emit("averagepool", [x], w=list(k),
+                             pads=[p[0], p[1], p[0], p[1]], strides=list(s))
+        if isinstance(mod, nn.AdaptiveAvgPool2d):
+            out = mod.output_size
+            if out in (1, (1, 1)):
+                return self.emit("gap", [x])
+            raise NotImplementedError(
+                "AdaptiveAvgPool2d only supported with output_size=1")
+        if isinstance(mod, nn.Upsample):
+            mode = {"nearest": "nearest", "bilinear": "linear"}[mod.mode]
+            sf = mod.scale_factor
+            if sf is None:
+                raise NotImplementedError("Upsample with size= not supported")
+            sf = sf if isinstance(sf, (tuple, list)) else (sf, sf)
+            kn = self.add_weight(self.fresh("upk"),
+                                 np.array([1, 1, sf[0], sf[1]], np.float32))
+            return self.emit("upsample", [x, kn], mode=mode)
+        if isinstance(mod, (nn.Dropout, nn.Identity)):
+            return self.emit("identity", [x])
+        if isinstance(mod, nn.Flatten):
+            return self.emit("flatten", [x], axis=mod.start_dim)
+        raise NotImplementedError(
+            f"torch module {type(mod).__name__} at {node.target!r} "
+            f"has no IR lowering")
+
+    # ----------------------------------------------------- functions/methods
+    def lower_function(self, node):
+        import torch
+        import torch.nn.functional as F
+        fn = node.target
+        a = node.args
+
+        def src(i):
+            return self.env[a[i].name]
+
+        binops = {operator.add: "add", torch.add: "add",
+                  operator.sub: "sub", torch.sub: "sub",
+                  operator.mul: "mul", torch.mul: "mul",
+                  operator.truediv: "div", torch.div: "div",
+                  torch.matmul: "matmul"}
+        if fn in binops:
+            srcs = []
+            for arg in a[:2]:
+                if hasattr(arg, "name") and arg.name in self.env:
+                    srcs.append(self.env[arg.name])
+                else:  # python scalar operand -> constant init
+                    srcs.append(self.add_weight(
+                        self.fresh("c"), np.asarray(arg, np.float32)))
+            return self.emit(binops[fn], srcs)
+        if fn in (F.relu, torch.relu):
+            return self.emit("relu", [src(0)])
+        if fn is F.leaky_relu:
+            alpha = a[1] if len(a) > 1 else node.kwargs.get(
+                "negative_slope", 0.01)
+            return self.emit("leakyrelu", [src(0)], alpha=alpha)
+        if fn is torch.sigmoid or fn is getattr(F, "sigmoid", None):
+            return self.emit("sigmoid", [src(0)])
+        if fn is torch.tanh or fn is getattr(F, "tanh", None):
+            return self.emit("tanh", [src(0)])
+        if fn is F.softmax:
+            axis = node.kwargs.get("dim", a[1] if len(a) > 1 else -1)
+            return self.emit("softmax", [src(0)], axis=axis)
+        if fn is torch.cat:
+            items = [self.env[n.name] for n in a[0]]
+            axis = node.kwargs.get("dim", a[1] if len(a) > 1 else 0)
+            return self.emit("concat", items, axis=axis)
+        if fn is torch.flatten:
+            axis = a[1] if len(a) > 1 else node.kwargs.get("start_dim", 0)
+            return self.emit("flatten", [src(0)], axis=axis)
+        if fn is F.interpolate:
+            sf = node.kwargs.get("scale_factor")
+            mode = node.kwargs.get("mode", "nearest")
+            if sf is None:
+                raise NotImplementedError("interpolate with size= unsupported")
+            sf = sf if isinstance(sf, (tuple, list)) else (sf, sf)
+            kn = self.add_weight(self.fresh("upk"),
+                                 np.array([1, 1, sf[0], sf[1]], np.float32))
+            m = {"nearest": "nearest", "bilinear": "linear"}[mode]
+            return self.emit("upsample", [src(0), kn], mode=m)
+        if fn is F.max_pool2d:
+            k = a[1] if len(a) > 1 else node.kwargs["kernel_size"]
+            k = k if isinstance(k, (tuple, list)) else (k, k)
+            s = node.kwargs.get("stride", a[2] if len(a) > 2 else None) or k
+            s = s if isinstance(s, (tuple, list)) else (s, s)
+            p = node.kwargs.get("padding", 0)
+            p = p if isinstance(p, (tuple, list)) else (p, p)
+            return self.emit("maxpool", [src(0)], w=list(k),
+                             pads=[p[0], p[1], p[0], p[1]], strides=list(s))
+        if fn is F.adaptive_avg_pool2d:
+            return self.emit("gap", [src(0)])
+        if fn is getattr(operator, "getitem", None):
+            raise NotImplementedError("tensor slicing in fx not yet lowered")
+        raise NotImplementedError(
+            f"torch function {getattr(fn, '__name__', fn)!r} has no IR "
+            f"lowering")
+
+    def lower_method(self, node):
+        name = node.target
+        x = self.env[node.args[0].name]
+        if name in ("view", "reshape"):
+            dims = [d if isinstance(d, int) else 0 for d in node.args[1:]]
+            shp = self.add_weight(self.fresh("shp"),
+                                  np.asarray(dims, np.int64))
+            return self.emit("reshape", [x, shp])
+        if name == "flatten":
+            axis = node.args[1] if len(node.args) > 1 else 0
+            return self.emit("flatten", [x], axis=axis)
+        if name == "permute":
+            return self.emit("transpose", [x], axis=list(node.args[1:]))
+        if name == "mean":
+            axes = node.args[1] if len(node.args) > 1 else None
+            kd = node.kwargs.get("keepdim", False)
+            if axes is None:
+                raise NotImplementedError(".mean() without dims")
+            axes = axes if isinstance(axes, (tuple, list)) else [axes]
+            return self.emit("reducemean", [x], axes=list(axes),
+                             keepdims=1 if kd else 0)
+        if name == "contiguous":
+            return self.emit("identity", [x])
+        if name == "sigmoid":
+            return self.emit("sigmoid", [x])
+        raise NotImplementedError(f"tensor method {name!r} has no IR lowering")
+
+    # --------------------------------------------------------------- driver
+    def run(self):
+        modules = dict(self.gm.named_modules())
+        outputs = None
+        for node in self.gm.graph.nodes:
+            if node.op == "placeholder":
+                self.inputs.append(node.name)
+                self.env[node.name] = node.name
+            elif node.op == "get_attr":
+                t = self.gm
+                for part in node.target.split("."):
+                    t = getattr(t, part)
+                self.env[node.name] = self.add_weight(
+                    node.target.replace(".", "_"), _np(t))
+            elif node.op == "call_module":
+                self.env[node.name] = self.lower_module(
+                    node, modules[node.target])
+            elif node.op == "call_function":
+                self.env[node.name] = self.lower_function(node)
+            elif node.op == "call_method":
+                self.env[node.name] = self.lower_method(node)
+            elif node.op == "output":
+                arg = node.args[0]
+                if isinstance(arg, (tuple, list)):
+                    outputs = [self.env[n.name] for n in arg]
+                else:
+                    outputs = [self.env[arg.name]]
+        self.layers.append(Layer("return", "return", {}))
+        self.flow.append(FlowEdge(outputs, ["return"], ["plrst"],
+                                  src_scalar=len(outputs) == 1,
+                                  dst_scalar=True))
+        g = Graph(inputs=self.inputs, inits=self.inits, layers=self.layers,
+                  flow=self.flow, meta={"producer": "torch2planer(fx)"})
+        g.validate()
+        return g, pack_weights(self.weights)
+
+
+def fx_to_graph(module, example=None):
+    """Symbolically trace a torch module and lower to (Graph, blob)."""
+    import torch
+    module = module.eval()
+    gm = torch.fx.symbolic_trace(module)
+    return _Lowerer(gm, None).run()
+
+
+def torch2planer(module, path: str, example=None, zip: bool = True,
+                 quantize: str | None = None):
+    """Reference-README API (readme.md:65-71): write ``path.json``+``.npy``
+    (or a ``.pla`` when zip=True) from a torch module."""
+    from ..io import save_pla
+    from ..ir import unpack_weights
+    graph, blob = fx_to_graph(module, example)
+    weights = unpack_weights(graph, blob)
+    if quantize:
+        from ..runtime.net import Net
+        net = Net(graph, weights)
+        net.quantize(mode=quantize)
+        graph, weights = net.graph, net.weights
+    if zip:
+        return save_pla(path, graph, weights)
+    import json as _json
+    with open(path + ".json", "w") as f:
+        f.write(graph.to_json())
+    np.save(path + ".npy", pack_weights(weights))
+    return path + ".json"

@@ -1,0 +1,145 @@
+"""Serving: continuous request batching with fixed shape buckets.
+
+The reference is a single-call library (net(x), net.py:94-101); production
+serving on TPU needs (north star, BASELINE.md): a request queue, batch
+assembly under a latency deadline, and — critically for XLA — *fixed shape
+buckets* so the jitted program never recompiles at serve time (SURVEY §7
+hard-part #5).
+
+``ServingEngine`` runs a dispatcher thread: requests accumulate until the
+largest bucket fills or ``max_delay_ms`` expires, the batch is padded to the
+bucket size, executed, and results are split back to per-request futures.
+A ``stats()`` surface reports occupancy/latency (SURVEY §5 observability).
+
+Multi-host deployment composes this with parallel.sharding: host 0 runs the
+dispatcher, per-host queues feed device-sharded batches (the DP axis).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["ServingEngine", "ServingStats"]
+
+
+@dataclass
+class ServingStats:
+    requests: int = 0
+    batches: int = 0
+    padded: int = 0                      # padding rows executed
+    latencies_ms: list = field(default_factory=list)
+    occupancy: list = field(default_factory=list)
+
+    def summary(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        n = len(lat)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "avg_occupancy": float(np.mean(self.occupancy)) if self.occupancy else 0.0,
+            "pad_fraction": (self.padded / max(1, self.requests + self.padded)),
+            "p50_ms": lat[n // 2] if n else 0.0,
+            "p99_ms": lat[min(n - 1, int(n * 0.99))] if n else 0.0,
+        }
+
+
+class ServingEngine:
+    """Continuous-batching front end over a Net (or any callable of a
+    batched NCHW array)."""
+
+    def __init__(self, net, buckets=(1, 2, 4, 8, 16, 32),
+                 max_delay_ms: float = 5.0, warmup: bool = False,
+                 example_shape=None):
+        self.net = net
+        self.buckets = tuple(sorted(buckets))
+        self.max_delay = max_delay_ms / 1e3
+        self.stats_data = ServingStats()
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._dispatch, daemon=True)
+        self._thread.start()
+        if warmup and example_shape is not None:
+            for b in self.buckets:
+                self.net(np.zeros((b,) + tuple(example_shape), np.float32))
+
+    # ------------------------------------------------------------------ API
+    def submit(self, x: np.ndarray) -> Future:
+        """Enqueue one request (single example, no batch dim)."""
+        fut: Future = Future()
+        self._q.put((np.asarray(x), fut, time.perf_counter()))
+        return fut
+
+    def infer(self, x: np.ndarray):
+        return self.submit(x).result()
+
+    def stats(self) -> dict:
+        return self.stats_data.summary()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------- internal
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _dispatch(self):
+        max_bucket = self.buckets[-1]
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.perf_counter() + self.max_delay
+            while len(batch) < max_bucket:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        xs = [b[0] for b in batch]
+        futs = [b[1] for b in batch]
+        t_submit = min(b[2] for b in batch)
+        n = len(xs)
+        bucket = self._bucket_for(n)
+        x = np.stack(xs, axis=0)
+        if bucket > n:
+            pad = np.zeros((bucket - n,) + x.shape[1:], x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        try:
+            out = self.net(x)
+        except Exception as e:  # propagate to all waiters
+            for f in futs:
+                f.set_exception(e)
+            return
+        dt = (time.perf_counter() - t_submit) * 1e3
+        st = self.stats_data
+        st.requests += n
+        st.batches += 1
+        st.padded += bucket - n
+        st.occupancy.append(n / bucket)
+        st.latencies_ms.append(dt)
+        outs = out if isinstance(out, tuple) else (out,)
+        for i, f in enumerate(futs):
+            per = tuple(np.asarray(o)[i] for o in outs)
+            f.set_result(per[0] if len(per) == 1 else per)

@@ -225,7 +225,10 @@ class TracedProgram:
                             args.append(senv[s])
                     else:
                         args.append(env[s])
-                out = spec.jax_fn(*args, **layer.kwargs)
+                # named_scope: IR layer names show up in profiler traces and
+                # HLO metadata (profiling parity with net.py:56-65 debug)
+                with jax.named_scope(lname):
+                    out = spec.jax_fn(*args, **layer.kwargs)
                 _store(env, senv, edge, out)
 
             # side channels captured at trace time

@@ -1,0 +1,75 @@
+"""Auxiliary subsystems: profiler/cost report, config, plot, zoo manifests,
+interpreter timer."""
+import os
+
+import numpy as np
+
+from planer_tpu import models, Config, set_config, get_config
+from planer_tpu.runtime import profiler
+from planer_tpu.utils import zoo
+from planer_tpu.utils.plot import plot_net, to_dot
+
+
+def test_cost_report(rng):
+    net = models.resnet18(num_classes=8)
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    rep = profiler.cost_report(net, x, chip="v5e")
+    assert rep["flops"] > 1e6
+    assert rep["bound"] in ("compute", "memory")
+    assert rep["ideal_time_s"] > 0
+
+
+def test_op_histogram():
+    net = models.resnet18(num_classes=8)
+    h = profiler.op_histogram(net.graph)
+    assert h["conv"] == 20  # 17 block convs + stem + 2 downsamples
+    assert h["relu"] > 0 and h["dense"] == 1
+
+
+def test_interpreter_timer(rng):
+    net = models.resnet18(num_classes=8)
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    net.timeit("start")
+    net.forward(x, engine="numpy")
+    assert "conv" in net.timer and net.timer["conv"] > 0
+
+
+def test_config_env_override(monkeypatch):
+    monkeypatch.setenv("PLANER_TILE_WINDOW", "256")
+    monkeypatch.setenv("PLANER_SERVE_BUCKETS", "1,4,16")
+    cfg = Config.from_env()
+    assert cfg.tile_window == 256
+    assert cfg.serve_buckets == (1, 4, 16)
+    set_config(cfg)
+    assert get_config().tile_window == 256
+
+
+def test_plot_dot(capsys, tmp_path):
+    net = models.unet(in_ch=1, out_ch=1, base=4, depth=1)
+    p = str(tmp_path / "net.dot")
+    dot = plot_net(net.graph, p)
+    assert dot.startswith("digraph")
+    assert os.path.exists(p)
+    out = capsys.readouterr().out
+    assert "conv" in out
+    # every layer appears as a node
+    assert dot.count("->") >= len(net.graph.flow) - 1
+
+
+def test_zoo_manifest_parsing(tmp_path):
+    md = tmp_path / "readme.md"
+    md.write_text(
+        "# model\n\n"
+        "|File|Required|Description|\n|---|---|---|\n"
+        "|[weights.pla](http://example.com/w.pla)|yes|weights|\n"
+        "|[extra.npy](http://example.com/e.npy)||optional|\n")
+    files = zoo.get_source(str(md))
+    assert files == [["weights.pla", True, "http://example.com/w.pla"],
+                     ["extra.npy", False, "http://example.com/e.npy"]]
+
+
+def test_zoo_source_annotation(tmp_path):
+    lst = [["a.pla", True, "http://x/a"], ["b.pla", False, "http://x/b"]]
+    (tmp_path / "a.pla").write_bytes(b"x")
+    out = zoo.source(str(tmp_path), [list(i) for i in lst])
+    assert out[0][2] is True and out[1][2] is False

@@ -1,0 +1,71 @@
+"""Serving engine: batching correctness, bucketing, stats, error paths."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from planer_tpu import models
+from planer_tpu.runtime.serving import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def net():
+    return models.resnet18(num_classes=8)
+
+
+def test_single_request(net, rng):
+    x = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    with ServingEngine(net, buckets=(1, 2, 4), max_delay_ms=1) as eng:
+        out = eng.infer(x)
+    ref = np.asarray(net.forward(x[None]))[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_concurrent_requests_batched(net, rng):
+    xs = [rng.standard_normal((3, 32, 32)).astype(np.float32)
+          for _ in range(16)]
+    with ServingEngine(net, buckets=(1, 2, 4, 8), max_delay_ms=30) as eng:
+        futs = [eng.submit(x) for x in xs]
+        outs = [f.result(timeout=60) for f in futs]
+        st = eng.stats()
+    # correctness per request
+    ref = np.asarray(net.forward(np.stack(xs))) if True else None
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o, ref[i], rtol=1e-3, atol=1e-3)
+    assert st["requests"] == 16
+    # batching actually happened (fewer batches than requests)
+    assert st["batches"] < 16
+    assert 0 < st["avg_occupancy"] <= 1
+
+
+def test_padding_to_bucket(net, rng):
+    """3 concurrent requests -> bucket 4 with 1 padding row."""
+    xs = [rng.standard_normal((3, 32, 32)).astype(np.float32)
+          for _ in range(3)]
+    with ServingEngine(net, buckets=(4,), max_delay_ms=50) as eng:
+        futs = [eng.submit(x) for x in xs]
+        [f.result(timeout=60) for f in futs]
+        st = eng.stats()
+    assert st["batches"] >= 1
+    assert st["pad_fraction"] > 0
+
+
+def test_error_propagation(rng):
+    class Broken:
+        def __call__(self, x):
+            raise RuntimeError("boom")
+
+    with ServingEngine(Broken(), buckets=(1,), max_delay_ms=1) as eng:
+        fut = eng.submit(np.zeros((3, 8, 8), np.float32))
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=10)
+
+
+def test_throughput_stats(net, rng):
+    with ServingEngine(net, buckets=(1, 2, 4), max_delay_ms=10) as eng:
+        for _ in range(5):
+            eng.infer(rng.standard_normal((3, 32, 32)).astype(np.float32))
+        st = eng.stats()
+    assert st["requests"] == 5
+    assert st["p50_ms"] > 0 and st["p99_ms"] >= st["p50_ms"]
