@@ -56,6 +56,7 @@ def main():
 
     net = models.resnet18()
     net.quantize("int8")
+    net.astype_compute("bfloat16")   # bf16 activations, int8 weights
     prog = net.program
     fn_, _ = prog._build_fn({}, [])
     params = prog.params

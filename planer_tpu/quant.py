@@ -110,7 +110,8 @@ def dequant_weights(graph: Graph, weights: list[np.ndarray]) -> list[np.ndarray]
 
 
 def make_quant_program(graph: Graph, weights: list[np.ndarray],
-                       jit_kwargs: dict | None = None) -> TracedProgram:
+                       jit_kwargs: dict | None = None,
+                       compute_dtype: str | None = None) -> TracedProgram:
     idx = graph.init_index()
     deq = dequant_weights(graph, weights)
 
@@ -134,4 +135,4 @@ def make_quant_program(graph: Graph, weights: list[np.ndarray],
 
     return TracedProgram(graph, deq, weight_materializer=materialize,
                          param_transform=param_transform,
-                         jit_kwargs=jit_kwargs)
+                         jit_kwargs=jit_kwargs, compute_dtype=compute_dtype)

@@ -23,9 +23,11 @@ __all__ = ["Net"]
 
 class Net:
     def __init__(self, graph: Graph | None = None,
-                 weights: list[np.ndarray] | None = None):
+                 weights: list[np.ndarray] | None = None,
+                 compute_dtype: str | None = None):
         self.graph = graph
         self.weights: list[np.ndarray] = weights if weights is not None else []
+        self.compute_dtype = compute_dtype   # e.g. 'bfloat16' for TPU serving
         self._program: TracedProgram | None = None
         self._oracle: NumpyExecutor | None = None
         self.timer: dict[str, float] = {}
@@ -76,14 +78,25 @@ class Net:
         self._program = None
         self._oracle = None
 
+    def astype_compute(self, dtype: str | None):
+        """Set the in-graph compute dtype ('bfloat16' recommended on TPU);
+        weights/outputs stay fp32 at the API boundary."""
+        self.compute_dtype = dtype
+        self._invalidate()
+        return self
+
     @property
     def program(self) -> TracedProgram:
         if self._program is None:
             if self.graph.quant:
                 from ..quant import make_quant_program
-                self._program = make_quant_program(self.graph, self.weights)
+                self._program = make_quant_program(
+                    self.graph, self.weights,
+                    compute_dtype=self.compute_dtype)
             else:
-                self._program = TracedProgram(self.graph, self.weights)
+                self._program = TracedProgram(
+                    self.graph, self.weights,
+                    compute_dtype=self.compute_dtype)
         return self._program
 
     @property

@@ -138,10 +138,12 @@ class TracedProgram:
                  weight_materializer: Callable | None = None,
                  param_transform: Callable | None = None,
                  jit_kwargs: dict | None = None,
-                 device_params: bool = True):
+                 device_params: bool = True,
+                 compute_dtype: str | None = None):
         graph.validate()
         self.graph = graph
         self.weights = weights
+        self.compute_dtype = compute_dtype  # e.g. 'bfloat16' for TPU serving
         self.plan = analyze(graph)
         self._layers = graph.layer_map()
         self._materialize = weight_materializer
@@ -183,13 +185,20 @@ class TracedProgram:
         name_to_w = dict(zip(graph.init_names(), self.weights))
         needs = self._suffix_needs()
         materialize = self._materialize
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+
+        def cast_in(v):
+            if cdt is not None and hasattr(v, "dtype") \
+                    and jnp.issubdtype(v.dtype, jnp.floating):
+                return v.astype(cdt)
+            return v
 
         def fn(params, *xs):
             env: dict[str, Any] = {}                 # dynamic values (jax)
             senv: dict[str, Any] = {"None": None}    # static values (numpy)
             senv.update(name_to_w)
             for n, x in zip(graph.inputs, xs):
-                env[n] = x
+                env[n] = cast_in(x)
 
             for rec in plan.records:
                 edge = graph.flow[rec.edge]
@@ -220,7 +229,7 @@ class TracedProgram:
                             leaf = params[s]
                             if materialize is not None:
                                 leaf = materialize(s, leaf, layer.op)
-                            args.append(leaf)
+                            args.append(cast_in(leaf))
                         else:
                             args.append(senv[s])
                     else:
@@ -234,10 +243,17 @@ class TracedProgram:
             # side channels captured at trace time
             static_sink.clear()
             static_sink.update(senv)
+            def cast_out(v):
+                # serve fp32 at the boundary regardless of compute dtype
+                if cdt is not None and hasattr(v, "dtype") \
+                        and v.dtype == cdt:
+                    return v.astype(jnp.float32)
+                return v
+
             outs, mask = [], []
             for n in needs:
                 if n in env:
-                    outs.append(env[n])
+                    outs.append(jax.tree.map(cast_out, env[n]))
                     mask.append(True)
                 else:
                     outs.append(np.zeros((), np.float32))  # host side has it

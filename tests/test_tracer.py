@@ -160,3 +160,27 @@ def test_retrace_on_new_shape(rng):
         out = net.forward(x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_compute_dtype(rng):
+    g, w = small_cnn(rng)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    net = Net(g, w)
+    ref = np.asarray(net.forward(x))
+    net.astype_compute("bfloat16")
+    out = np.asarray(net.forward(x))
+    assert out.dtype == np.float32  # fp32 at the API boundary
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.03, f"bf16 rel err {rel}"
+
+
+def test_bf16_with_int8(rng):
+    g, w = small_cnn(rng)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    net = Net(g, w)
+    ref = np.asarray(net.forward(x))
+    net.quantize("int8")
+    net.astype_compute("bfloat16")
+    out = np.asarray(net.forward(x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.06, f"int8+bf16 rel err {rel}"
