@@ -98,19 +98,22 @@ def main():
             log(f"cost_analysis failed: {e}")
             return None
 
-    N1, N2 = 2, 12
+    N1, N2 = 10, 110   # 100-step delta so relay jitter (~5ms) stays <5% of signal
     results = {}
     flops_per_img = None
-    for batch in (1, 8, 32):
+    for batch in (1, 8, 32, 64):
         x = np.random.default_rng(0).standard_normal(
             (batch, 3, 224, 224)).astype(np.float32)
         x_dev = jax.device_put(jnp.asarray(x))
         t0 = time.perf_counter()
         timed(x_dev, N1, reps=1)  # compile + warm
         log(f"batch {batch}: compile+warm {time.perf_counter()-t0:.1f}s")
-        t1 = timed(x_dev, N1)
-        t2 = timed(x_dev, N2)
-        step = max((t2 - t1) / (N2 - N1), 1e-9)
+        t1 = timed(x_dev, N1, reps=4)
+        t2 = timed(x_dev, N2, reps=4)
+        step = (t2 - t1) / (N2 - N1)
+        if step <= 0:  # jitter swamped the delta; re-measure with more work
+            t2 = timed(x_dev, N2 * 5, reps=3)
+            step = max((t2 - t1) / (N2 * 5 - N1), 1e-9)
         results[batch] = step
         log(f"batch {batch}: on-device step {step*1e3:.3f} ms "
             f"({batch/step:.1f} img/s)  [t({N1})={t1*1e3:.1f}ms "

@@ -13,7 +13,8 @@ __all__ = ["decode_heads", "nms", "detect"]
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    with np.errstate(over="ignore"):
+        return 1.0 / (1.0 + np.exp(-x))
 
 
 def decode_heads(heads, img_size: int = 416, num_classes: int | None = None,
@@ -44,8 +45,8 @@ def decode_heads(heads, img_size: int = 416, num_classes: int | None = None,
     return np.concatenate(outs, axis=1)
 
 
-def nms(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
-    """Greedy NMS on [cx, cy, w, h] boxes; returns kept indices."""
+def _nms_numpy(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
+    """Greedy NMS, pure-numpy reference implementation."""
     x1 = boxes[:, 0] - boxes[:, 2] / 2
     y1 = boxes[:, 1] - boxes[:, 3] / 2
     x2 = boxes[:, 0] + boxes[:, 2] / 2
@@ -66,33 +67,55 @@ def nms(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
     return np.asarray(keep, np.int64)
 
 
+def nms(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
+    """Greedy NMS on [cx, cy, w, h] boxes; returns kept indices.
+
+    Dispatches to the native C++ kernel (planer_tpu.native) when available,
+    else the numpy reference above."""
+    from .. import native
+    if native.available():
+        return native.nms(boxes, scores, iou_thresh, top_k)
+    return _nms_numpy(boxes, scores, iou_thresh, top_k)
+
+
 def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
-           num_classes: int | None = None):
+           num_classes: int | None = None, min_wh: float = 2.0):
     """Full pipeline: jitted forward -> host decode -> per-class NMS.
 
     ``img``: (N, 3, S, S) float32.  Returns a list (per image) of
-    (x1, y1, x2, y2, score, class_id) float arrays.
+    (x1, y1, x2, y2, score, class_id) float arrays.  Boxes smaller than
+    ``min_wh`` pixels are dropped and coordinates clipped to the image.
     """
+    size = img.shape[-1]
     heads = net(img)
-    dec = decode_heads(heads, img_size=img.shape[-1], num_classes=num_classes)
+    dec = decode_heads(heads, img_size=size, num_classes=num_classes)
     results = []
+    from .. import native
     for bi in range(dec.shape[0]):
         d = dec[bi]
-        scores = d[:, 4:5] * d[:, 5:]
-        cls_id = scores.argmax(1)
-        cls_sc = scores.max(1)
-        m = cls_sc >= conf_thresh
-        d, cls_id, cls_sc = d[m], cls_id[m], cls_sc[m]
+        if native.available():
+            idx, cls_id, cls_sc = native.score_filter(d, conf_thresh)
+            d = d[idx]
+        else:
+            scores = d[:, 4:5] * d[:, 5:]
+            cls_id = scores.argmax(1)
+            cls_sc = scores.max(1)
+            m = cls_sc >= conf_thresh
+            d, cls_id, cls_sc = d[m], cls_id[m], cls_sc[m]
+        # drop degenerate boxes, cap to image scale
+        ok = (d[:, 2] >= min_wh) & (d[:, 3] >= min_wh) \
+            & (d[:, 2] <= 4 * size) & (d[:, 3] <= 4 * size)
+        d, cls_id, cls_sc = d[ok], cls_id[ok], cls_sc[ok]
         out = []
         for c in np.unique(cls_id):
             mc = cls_id == c
             keep = nms(d[mc, :4], cls_sc[mc], iou_thresh)
             bx = d[mc][keep]
             sc = cls_sc[mc][keep]
-            x1 = bx[:, 0] - bx[:, 2] / 2
-            y1 = bx[:, 1] - bx[:, 3] / 2
-            x2 = bx[:, 0] + bx[:, 2] / 2
-            y2 = bx[:, 1] + bx[:, 3] / 2
+            x1 = np.clip(bx[:, 0] - bx[:, 2] / 2, 0, size)
+            y1 = np.clip(bx[:, 1] - bx[:, 3] / 2, 0, size)
+            x2 = np.clip(bx[:, 0] + bx[:, 2] / 2, 0, size)
+            y2 = np.clip(bx[:, 1] + bx[:, 3] / 2, 0, size)
             out.append(np.stack([x1, y1, x2, y2, sc,
                                  np.full_like(sc, c, dtype=np.float32)], 1))
         results.append(np.concatenate(out, 0) if out

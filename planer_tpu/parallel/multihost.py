@@ -1,0 +1,89 @@
+"""Multi-host bring-up and failure detection.
+
+The reference is a single synchronous process (SURVEY §5: no failure
+detection anywhere).  Serving-scope mechanisms here:
+
+  * :func:`initialize` — ``jax.distributed.initialize`` with a timeout and a
+    clear error (a hung coordinator is the most common multi-host bring-up
+    failure), env-var driven like standard TPU pod deployments;
+  * :func:`health_check` — device liveness probe: run a tiny jitted add on
+    every local device with a deadline; returns per-device status.  The
+    serving front end calls this between batches when requests start timing
+    out, and a failed host drops out of the DP group (request-level retry
+    lives in ServingEngine.submit).
+"""
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import os
+import time
+
+import numpy as np
+
+__all__ = ["initialize", "health_check"]
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None,
+               timeout_s: float = 120.0):
+    """jax.distributed.initialize with a hard timeout.
+
+    Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID); on TPU pods jax can also infer them
+    from the metadata server.  Raises TimeoutError instead of hanging when
+    the coordinator never comes up.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs["coordinator_address"] = (
+            coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"])
+    if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(
+            process_id if process_id is not None
+            else os.environ["JAX_PROCESS_ID"])
+
+    with _fut.ThreadPoolExecutor(1) as ex:
+        f = ex.submit(jax.distributed.initialize, **kwargs)
+        try:
+            f.result(timeout=timeout_s)
+        except _fut.TimeoutError:
+            raise TimeoutError(
+                f"jax.distributed.initialize did not complete within "
+                f"{timeout_s}s (coordinator "
+                f"{kwargs.get('coordinator_address', '<auto>')} unreachable?)"
+            ) from None
+    import jax as _j
+    return {"process_index": _j.process_index(),
+            "process_count": _j.process_count(),
+            "local_devices": len(_j.local_devices())}
+
+
+def health_check(deadline_s: float = 10.0) -> dict:
+    """Probe every local device with a tiny computation under a deadline."""
+    import jax
+    import jax.numpy as jnp
+
+    results = {}
+
+    def probe(dev):
+        t0 = time.perf_counter()
+        x = jax.device_put(jnp.ones((8, 8), jnp.float32), dev)
+        float(np.asarray(x + 1).sum())
+        return time.perf_counter() - t0
+
+    with _fut.ThreadPoolExecutor(max_workers=8) as ex:
+        futs = {ex.submit(probe, d): d for d in jax.local_devices()}
+        for f, d in futs.items():
+            try:
+                dt = f.result(timeout=deadline_s)
+                results[str(d)] = {"ok": True, "latency_s": dt}
+            except Exception as e:
+                results[str(d)] = {"ok": False, "error": repr(e)[:200]}
+    healthy = all(v["ok"] for v in results.values())
+    return {"healthy": healthy, "devices": results}

@@ -68,14 +68,18 @@ class ServingEngine:
                 self.net(np.zeros((b,) + tuple(example_shape), np.float32))
 
     # ------------------------------------------------------------------ API
-    def submit(self, x: np.ndarray) -> Future:
-        """Enqueue one request (single example, no batch dim)."""
+    def submit(self, x: np.ndarray, retries: int = 0) -> Future:
+        """Enqueue one request (single example, no batch dim).
+
+        ``retries``: request-level retry on execution failure (the
+        failure-detection story at serving scope — a transient device error
+        re-enqueues the request instead of failing the client)."""
         fut: Future = Future()
-        self._q.put((np.asarray(x), fut, time.perf_counter()))
+        self._q.put((np.asarray(x), fut, time.perf_counter(), retries))
         return fut
 
-    def infer(self, x: np.ndarray):
-        return self.submit(x).result()
+    def infer(self, x: np.ndarray, retries: int = 0):
+        return self.submit(x, retries=retries).result()
 
     def stats(self) -> dict:
         return self.stats_data.summary()
@@ -128,9 +132,14 @@ class ServingEngine:
             x = np.concatenate([x, pad], axis=0)
         try:
             out = self.net(x)
-        except Exception as e:  # propagate to all waiters
-            for f in futs:
-                f.set_exception(e)
+        except Exception as e:
+            # request-level retry: re-enqueue items with budget left,
+            # fail the rest (serving-scope failure handling)
+            for xi, f, t0, r in batch:
+                if r > 0:
+                    self._q.put((xi, f, t0, r - 1))
+                else:
+                    f.set_exception(e)
             return
         dt = (time.perf_counter() - t_submit) * 1e3
         st = self.stats_data

@@ -69,3 +69,26 @@ def test_throughput_stats(net, rng):
         st = eng.stats()
     assert st["requests"] == 5
     assert st["p50_ms"] > 0 and st["p99_ms"] >= st["p50_ms"]
+
+
+def test_retry_then_fail(rng):
+    calls = [0]
+
+    class Flaky:
+        def __call__(self, x):
+            calls[0] += 1
+            if calls[0] <= 2:
+                raise RuntimeError("transient")
+            return np.zeros((x.shape[0], 4), np.float32)
+
+    with ServingEngine(Flaky(), buckets=(1,), max_delay_ms=1) as eng:
+        out = eng.infer(np.zeros((3, 8, 8), np.float32), retries=3)
+    assert out.shape == (4,)
+    assert calls[0] == 3
+
+
+def test_health_check():
+    from planer_tpu.parallel.multihost import health_check
+    h = health_check(deadline_s=30)
+    assert h["healthy"]
+    assert all(v["ok"] for v in h["devices"].values())
