@@ -36,6 +36,19 @@ _DIMNUMS = ("NCHW", "OIHW", "NCHW")
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
            pads=(0, 0, 0, 0)):
     if isinstance(K, QTensor):
+        # 1x1 stride-1 ungrouped conv IS a GEMM over (N*H*W, C): route to the
+        # Pallas fused int8 dequant+GEMM kernel (weights stream as int8)
+        if (K.q.ndim == 4 and K.q.shape[2] == K.q.shape[3] == 1
+                and int(group) == 1
+                and tuple(int(s) for s in (strides or (1, 1))) == (1, 1)
+                and all(int(p) == 0 for p in (pads or (0, 0, 0, 0)))):
+            from .pallas import gemm as _pgemm
+            n, c, h, w = x.shape
+            o = K.q.shape[0]
+            xm = jnp.transpose(x, (0, 2, 3, 1)).reshape(-1, c)  # (NHW, C)
+            kq = QTensor(K.q.reshape(o, c), K.scale.reshape(o, 1))
+            y = _pgemm.dense_q(xm, kq, B)
+            return jnp.transpose(y.reshape(n, h, w, o), (0, 3, 1, 2))
         K = K.dequant(x.dtype)
     strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
     dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)

@@ -179,3 +179,51 @@ def test_varint_edge_cases():
         if v < 0:
             out = out - (1 << 64)
         assert out == v and pos == len(b)
+
+
+def test_lstm_through_converter(rng):
+    """ONNX LSTM node with optional inputs omitted (empty names)."""
+    L, N, D, H = 4, 2, 6, 5
+    W = (rng.standard_normal((1, 4 * H, D)) * 0.3).astype(np.float32)
+    R = (rng.standard_normal((1, 4 * H, H)) * 0.3).astype(np.float32)
+    B = (rng.standard_normal((1, 8 * H)) * 0.1).astype(np.float32)
+    nodes = [P.NodeProto(
+        input=["x", "w", "r", "b"], output=["y", "yh", "yc"], name="rnn",
+        op_type="LSTM",
+        attribute=[_attr_i("hidden_size", H), _attr_s("direction", "forward")])]
+    graph = P.GraphProto(
+        node=nodes,
+        initializer=[P.from_array(W, "w"), P.from_array(R, "r"),
+                     P.from_array(B, "b")],
+        input=[_vi("x", (L, N, D))], output=[_vi("y", (L, 1, N, H))])
+    g, blob = convert_model(P.ModelProto(graph=graph))
+    net = Net(g)
+    net.weights = unpack_weights(g, blob)
+    x = rng.standard_normal((L, N, D)).astype(np.float32)
+    out = net.forward(x, engine="numpy")
+    from planer_tpu.ops import numpy_ops as nops
+    ref = nops.lstm(x, W, R, B, direction="forward")[0]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    # jitted path (lax.scan) agrees
+    out_j = net.forward(x)
+    np.testing.assert_allclose(np.asarray(out_j), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_slice_opset10_inputs(rng):
+    """Slice with starts/ends/axes/steps as tensor inputs (opset 10+)."""
+    nodes = [P.NodeProto(input=["x", "st", "en", "ax", "sp"], output=["y"],
+                         name="sl", op_type="Slice")]
+    graph = P.GraphProto(
+        node=nodes,
+        initializer=[P.from_array(np.array([1], np.int64), "st"),
+                     P.from_array(np.array([4], np.int64), "en"),
+                     P.from_array(np.array([1], np.int64), "ax"),
+                     P.from_array(np.array([2], np.int64), "sp")],
+        input=[_vi("x", (2, 6))], output=[_vi("y", (2, 2))])
+    g, blob = convert_model(P.ModelProto(graph=graph))
+    net = Net(g)
+    net.weights = unpack_weights(g, blob)
+    x = rng.standard_normal((2, 6)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(net.forward(x, engine="numpy")),
+                               x[:, 1:4:2])
+    np.testing.assert_allclose(np.asarray(net.forward(x)), x[:, 1:4:2])

@@ -66,3 +66,27 @@ def test_matmul_q_interpret(rng):
     ref = x @ (q.astype(np.float32) * scale)
     np.testing.assert_allclose(out, ref, rtol=2e-2,
                                atol=2e-2 * np.abs(ref).max())
+
+
+def test_quantized_1x1_conv_routes_to_gemm(rng):
+    """1x1 stride-1 conv with QTensor weights == dense over channels."""
+    from planer_tpu.ops import jax_ops as jops
+    x = rng.standard_normal((2, 128, 4, 4)).astype(np.float32)
+    w = (rng.standard_normal((256, 128, 1, 1)) * 0.4).astype(np.float32)
+    absmax = np.abs(w).max(axis=(1, 2, 3), keepdims=True)
+    scale = (absmax / 127.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    qt = QTensor(jnp.asarray(q), jnp.asarray(scale))
+    B = rng.standard_normal(256).astype(np.float32)
+    out = np.asarray(jops.conv2d(jnp.asarray(x), qt, jnp.asarray(B)))
+    deq = q.astype(np.float32) * scale
+    from planer_tpu.ops import numpy_ops as nops
+    ref = nops.conv2d(x, deq, B)
+    np.testing.assert_allclose(out, ref, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref).max())
+    # strided/padded quantized 1x1 still goes through lax.conv correctly
+    out2 = np.asarray(jops.conv2d(jnp.asarray(x), qt, jnp.asarray(B),
+                                  strides=(2, 2)))
+    ref2 = nops.conv2d(x, deq, B, strides=(2, 2))
+    np.testing.assert_allclose(out2, ref2, rtol=2e-2,
+                               atol=2e-2 * np.abs(ref2).max())
