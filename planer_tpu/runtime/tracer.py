@@ -286,6 +286,10 @@ class TracedProgram:
 
     # ------------------------------------------------------------------ run
     def __call__(self, *inputs):
+        if len(inputs) != len(self.graph.inputs):
+            raise TypeError(
+                f"model expects {len(self.graph.inputs)} input(s) "
+                f"{self.graph.inputs}, got {len(inputs)}")
         inputs = [jnp.asarray(x) for x in inputs]
         entry = self._entry(*inputs)
         outs = entry["compiled"](self.params, *inputs)

@@ -73,3 +73,24 @@ def test_zoo_source_annotation(tmp_path):
     (tmp_path / "a.pla").write_bytes(b"x")
     out = zoo.source(str(tmp_path), [list(i) for i in lst])
     assert out[0][2] is True and out[1][2] is False
+
+
+def test_zoo_model_package(tmp_path, monkeypatch):
+    """Full zoo flow on the example package: manifest, decoration,
+    auto-load (air-gapped: files materialized locally, no network)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from planer_tpu.utils import zoo
+    monkeypatch.setattr(zoo, "root", str(tmp_path))
+    import planer_zoo_example as pkg
+    pkg.root = str(tmp_path / "planer_zoo_example")
+    os.makedirs(pkg.root, exist_ok=True)
+    pkg._ensure_local()          # air-gapped: pre-populate the cache
+    mod = zoo.Model(pkg, auto=True)
+    assert callable(mod.list_source) and callable(mod.download)
+    src = mod.source()
+    assert src[0][0] == "resnet18_tiny.pla" and src[0][2] is True  # installed
+    x = np.random.randn(1, 3, 32, 32).astype(np.float32)
+    out = mod.predict(x)
+    assert out.shape == (1, 10)

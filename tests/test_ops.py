@@ -239,3 +239,25 @@ def test_compare_ops(rng):
     np.testing.assert_array_equal(np.asarray(nops.equal(a, a)),
                                   np.asarray(jops.equal(a, a)))
     assert_close(nops.where(a > 0, a, b), jops.where(a > 0, a, b))
+
+
+def test_stacked_conv_parity(rng):
+    """Output-row-stacked 3x3 conv (MXU lane-packing transform) is exact."""
+    from planer_tpu.ops import jax_ops
+    assert jax_ops._STACK_CONV
+    for O, H in [(64, 56), (8, 16), (32, 30)]:
+        x = rng.standard_normal((2, 16, H, H)).astype(np.float32)
+        K = (rng.standard_normal((O, 16, 3, 3)) * 0.2).astype(np.float32)
+        B = rng.standard_normal(O).astype(np.float32)
+        ref = nops.conv2d(x, K, B, pads=(1, 1, 1, 1))
+        out = jops.conv2d(x, K, B, pads=(1, 1, 1, 1))
+        assert_close(out, ref, tol=1e-4)
+
+
+def test_stacked_conv_not_applied_odd_h(rng):
+    from planer_tpu.ops import jax_ops as jops2
+    x = rng.standard_normal((1, 8, 15, 15)).astype(np.float32)  # odd H
+    K = (rng.standard_normal((8, 8, 3, 3)) * 0.2).astype(np.float32)
+    ref = nops.conv2d(x, K, None, pads=(1, 1, 1, 1))
+    out = jops2.conv2d(x, K, None, pads=(1, 1, 1, 1))
+    assert_close(out, ref, tol=1e-4)

@@ -184,3 +184,28 @@ def test_bf16_with_int8(rng):
     out = np.asarray(net.forward(x))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.06, f"int8+bf16 rel err {rel}"
+
+
+def test_multi_input_graph(rng):
+    b = GraphBuilder(["a", "b"])
+    y = b.add("a", "b")
+    y = b.relu(y)
+    b.ret(y)
+    g, w = b.build()
+    net = Net(g, w)
+    xa = rng.standard_normal((3, 4)).astype(np.float32)
+    xb = rng.standard_normal((3, 4)).astype(np.float32)
+    ref = np.maximum(xa + xb, 0)
+    np.testing.assert_allclose(net.forward(xa, xb, engine="numpy"), ref,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(net.forward(xa, xb)), ref,
+                               rtol=1e-6)
+    np.testing.assert_allclose(net({"b": xb, "a": xa}), ref, rtol=1e-6)
+
+
+def test_wrong_input_count_raises(rng):
+    g, w = small_cnn(rng)
+    net = Net(g, w)
+    with pytest.raises(TypeError, match="expects 1 input"):
+        net.forward(np.zeros((1, 3, 8, 8), np.float32),
+                    np.zeros((1, 3, 8, 8), np.float32))
