@@ -84,7 +84,10 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
             and K.shape[0] <= 64 and int(group) == 1
             and strides == (1, 1) and dilations == (1, 1)
             and pads == (1, 1, 1, 1) and x.ndim == 4
-            and x.shape[2] % 2 == 0 and x.shape[2] >= 4):
+            and x.shape[2] % 2 == 0 and x.shape[2] >= 4
+            # the row-interleave transpose only amortizes on big GEMMs
+            # (measured: +15% at batch>=32 on 56^2, -30% at batch<=8)
+            and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000):
         return _stacked_conv3x3(x, K, B, prec)
     out = lax.conv_general_dilated(
         x, K,

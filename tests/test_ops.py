@@ -242,15 +242,26 @@ def test_compare_ops(rng):
 
 
 def test_stacked_conv_parity(rng):
-    """Output-row-stacked 3x3 conv (MXU lane-packing transform) is exact."""
+    """Output-row-stacked 3x3 conv (MXU lane-packing transform) is exact.
+
+    Batch/spatial sized to cross the amortization threshold so the stacked
+    path actually engages (direct call to the transform covers the rest)."""
     from planer_tpu.ops import jax_ops
     assert jax_ops._STACK_CONV
-    for O, H in [(64, 56), (8, 16), (32, 30)]:
+    x = rng.standard_normal((32, 8, 64, 64)).astype(np.float32)
+    K = (rng.standard_normal((64, 8, 3, 3)) * 0.2).astype(np.float32)
+    B = rng.standard_normal(64).astype(np.float32)
+    ref = nops.conv2d(x, K, B, pads=(1, 1, 1, 1))
+    out = jops.conv2d(x, K, B, pads=(1, 1, 1, 1))
+    assert_close(out, ref, tol=1e-4)
+    # transform itself, across shapes (bypasses the size gate)
+    import jax.numpy as jnp
+    for O, H in [(8, 16), (32, 30), (64, 56)]:
         x = rng.standard_normal((2, 16, H, H)).astype(np.float32)
         K = (rng.standard_normal((O, 16, 3, 3)) * 0.2).astype(np.float32)
-        B = rng.standard_normal(O).astype(np.float32)
-        ref = nops.conv2d(x, K, B, pads=(1, 1, 1, 1))
-        out = jops.conv2d(x, K, B, pads=(1, 1, 1, 1))
+        ref = nops.conv2d(x, K, None, pads=(1, 1, 1, 1))
+        out = jax_ops._stacked_conv3x3(jnp.asarray(x), jnp.asarray(K), None,
+                                       jnp.float32)
         assert_close(out, ref, tol=1e-4)
 
 
