@@ -42,6 +42,8 @@ def _tile_plan(M: int, N: int, Kd: int):
     """Choose (bm, bn) or None if the problem shouldn't use the kernel."""
     if N % 128 or Kd % 128:
         return None
+    if M < 8:  # tiny-M GEMMs (batch-1 heads) are better on the XLA path
+        return None
     bm = 256 if M >= 256 else max(8, 1 << int(np.floor(np.log2(max(M, 1)))))
     bn = min(256, N)
     # VMEM: x tile (bm, Kd) f32 + q tile (Kd, bn) i8 + out (bm, bn) f32

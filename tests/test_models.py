@@ -151,3 +151,15 @@ def test_eval_detection_agreement_self():
     net = models.yolov3(num_classes=4)
     r = ev.detection_agreement(net, net, n=2, size=128, conf_thresh=0.35)
     assert r["f1"] == 1.0 or (r["tp"] + r["fp"] + r["fn"] == 0)
+
+
+def test_unet_quantized_parity(rng):
+    """convtranspose weights quantize on their output-channel axis (axis 1)."""
+    net = models.unet(in_ch=1, out_ch=1, base=8, depth=2)
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    ref = np.asarray(net.forward(x))
+    net.quantize("int8")
+    assert any(i["axis"] == 1 for i in net.graph.quant.values())
+    out = np.asarray(net.forward(x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, f"unet int8 rel err {rel}"
