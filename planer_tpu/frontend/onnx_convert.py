@@ -60,19 +60,40 @@ def _simple(opcode):
     return lambda a: (opcode, {})
 
 
+def _check_autopad(a: dict, pool: bool = False):
+    """Reject attribute values whose silent omission would change semantics
+    (the converter's contract: fail loudly, never compute wrong shapes)."""
+    ap = a.get("auto_pad", "NOTSET")
+    if ap == "VALID":
+        return [0, 0, 0, 0]
+    if ap not in ("", "NOTSET"):
+        raise NotImplementedError(
+            f"auto_pad={ap!r} is not supported — re-export with explicit "
+            f"pads (SAME_* auto-padding is input-shape-dependent)")
+    if pool:
+        if a.get("ceil_mode", 0):
+            raise NotImplementedError("pool ceil_mode=1 is not supported")
+        if a.get("storage_order", 0):
+            raise NotImplementedError("MaxPool storage_order=1 not supported")
+        d = a.get("dilations")
+        if d is not None and any(int(v) != 1 for v in d):
+            raise NotImplementedError("pool dilations != 1 not supported")
+    return a.get("pads")
+
+
 _LOWER = {
     "Conv": lambda a: ("conv", {
         "group": a.get("group", 1) or 1,
         "strides": a.get("strides"), "dilations": a.get("dilations"),
-        "pads": a.get("pads")}),
+        "pads": _check_autopad(a)}),
     "ConvTranspose": lambda a: ("convtranspose", _take(
         a, "strides", "dilations", "pads", "output_padding", "group")),
     "MatMul": _simple("matmul"),
     "MaxPool": lambda a: ("maxpool", {
-        "w": a.get("kernel_shape"), "pads": a.get("pads"),
+        "w": a.get("kernel_shape"), "pads": _check_autopad(a, pool=True),
         "strides": a.get("strides")}),
     "AveragePool": lambda a: ("averagepool", {
-        "w": a.get("kernel_shape"), "pads": a.get("pads"),
+        "w": a.get("kernel_shape"), "pads": _check_autopad(a, pool=True),
         "strides": a.get("strides"),
         **_take(a, "count_include_pad")}),
     "GlobalAveragePool": _simple("gap"),
@@ -83,7 +104,7 @@ _LOWER = {
     "Unsqueeze": lambda a: ("unsqueeze", _take(a, "axes")),
     "Squeeze": lambda a: ("squeeze", _take(a, "axes")),
     "Relu": _simple("relu"),
-    "LeakyRelu": lambda a: ("leakyrelu", _take(a, "alpha")),
+    "LeakyRelu": lambda a: ("leakyrelu", {"alpha": a.get("alpha", 0.01)}),
     "HardSigmoid": lambda a: ("hardsigmoid", _take(a, "alpha", "beta")),
     "Sigmoid": _simple("sigmoid"),
     "Softmax": lambda a: ("softmax", _take(a, "axis")),
@@ -191,18 +212,24 @@ def convert_model(model: op.ModelProto) -> tuple[Graph, np.ndarray]:
             if a.get("transA", 0):
                 raise NotImplementedError("Gemm transA=1 not supported")
             if ins[1] in windex:
-                W = weights[windex[ins[1]]]
-                if not transB:
-                    W = np.ascontiguousarray(W.T)
-                if alpha != 1.0:
-                    W = (W * alpha).astype(W.dtype)
-                weights[windex[ins[1]]] = W
-                idx = [i for i, (n, _, _) in enumerate(inits)
-                       if n == ins[1]][0]
-                inits[idx] = (ins[1], tuple(W.shape), str(W.dtype))
+                # derive a NEW init rather than mutating in place: the same
+                # initializer may feed several Gemm nodes (weight tying)
+                if not transB or alpha != 1.0:
+                    W = weights[windex[ins[1]]]
+                    Wt = W if transB else np.ascontiguousarray(W.T)
+                    if alpha != 1.0:
+                        Wt = (Wt * alpha).astype(W.dtype)
+                    dname = f"{ins[1]}~gemm{'' if transB else 'T'}" \
+                            + (f"a{alpha}" if alpha != 1.0 else "")
+                    if dname not in windex:
+                        add_init(dname, Wt)
+                    ins[1] = dname
                 if beta != 1.0 and len(ins) > 2 and ins[2] in windex:
                     Bv = weights[windex[ins[2]]]
-                    weights[windex[ins[2]]] = (Bv * beta).astype(Bv.dtype)
+                    dname = f"{ins[2]}~gemmb{beta}"
+                    if dname not in windex:
+                        add_init(dname, (Bv * beta).astype(Bv.dtype))
+                    ins[2] = dname
             elif not transB or alpha != 1.0:
                 raise NotImplementedError(
                     "Gemm with non-initializer transposed weight")

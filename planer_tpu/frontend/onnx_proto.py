@@ -27,7 +27,7 @@ __all__ = [
 DTYPES = {
     1: "float32", 2: "uint8", 3: "int8", 4: "uint16", 5: "int16",
     6: "int32", 7: "int64", 8: "object", 9: "bool", 10: "float16",
-    11: "float64", 12: "uint32", 13: "uint64",
+    11: "float64", 12: "uint32", 13: "uint64", 16: "bfloat16",
 }
 DTYPE_CODE = {v: k for k, v in DTYPES.items()}
 
@@ -448,8 +448,13 @@ def to_array(t: TensorProto) -> np.ndarray:
     elif t.int64_data:
         arr = np.asarray(t.int64_data, np.int64).astype(dt, copy=False)
     elif t.int32_data:
-        # int32_data also carries int8/uint8/fp16 payloads per spec
-        arr = np.asarray(t.int32_data, np.int32).astype(dt, copy=False)
+        # int32_data also carries int8/uint8/fp16/bf16 payloads per spec;
+        # 16-bit floats are stored as uint16 BIT PATTERNS, not values
+        raw = np.asarray(t.int32_data, np.int32)
+        if t.data_type in (10, 16):
+            arr = raw.astype(np.uint16).view(dt)
+        else:
+            arr = raw.astype(dt, copy=False)
     elif t.double_data:
         arr = np.asarray(t.double_data, np.float64).astype(dt, copy=False)
     elif t.uint64_data:

@@ -157,14 +157,12 @@ class _Lowerer:
             raise NotImplementedError(
                 "AdaptiveAvgPool2d only supported with output_size=1")
         if isinstance(mod, nn.Upsample):
-            mode = {"nearest": "nearest", "bilinear": "linear"}[mod.mode]
             sf = mod.scale_factor
             if sf is None:
                 raise NotImplementedError("Upsample with size= not supported")
             sf = sf if isinstance(sf, (tuple, list)) else (sf, sf)
-            kn = self.add_weight(self.fresh("upk"),
-                                 np.array([1, 1, sf[0], sf[1]], np.float32))
-            return self.emit("upsample", [x, kn], mode=mode)
+            return self._emit_upsample(x, sf, mod.mode,
+                                       getattr(mod, "align_corners", None))
         if isinstance(mod, (nn.Dropout, nn.Identity)):
             return self.emit("identity", [x])
         if isinstance(mod, nn.Flatten):
@@ -172,6 +170,21 @@ class _Lowerer:
         raise NotImplementedError(
             f"torch module {type(mod).__name__} at {node.target!r} "
             f"has no IR lowering")
+
+    def _emit_upsample(self, x, sf, mode, align_corners):
+        """torch nearest == asymmetric+floor (the 'upsample' op); torch
+        bilinear uses half-pixel coords (align_corners=False) or
+        align_corners — lower those to the 'resize' op with the exact
+        coordinate_transformation_mode."""
+        kn = self.add_weight(self.fresh("upk"),
+                             np.array([1, 1, sf[0], sf[1]], np.float32))
+        if mode == "nearest":
+            return self.emit("upsample", [x, kn], mode="nearest")
+        if mode in ("bilinear", "linear"):
+            coord = "align_corners" if align_corners else "pytorch_half_pixel"
+            return self.emit("resize", [x, "None", kn], mode="linear",
+                             coordinate_transformation_mode=coord)
+        raise NotImplementedError(f"interpolate mode {mode!r}")
 
     # ----------------------------------------------------- functions/methods
     def lower_function(self, node):
@@ -223,10 +236,8 @@ class _Lowerer:
             if sf is None:
                 raise NotImplementedError("interpolate with size= unsupported")
             sf = sf if isinstance(sf, (tuple, list)) else (sf, sf)
-            kn = self.add_weight(self.fresh("upk"),
-                                 np.array([1, 1, sf[0], sf[1]], np.float32))
-            m = {"nearest": "nearest", "bilinear": "linear"}[mode]
-            return self.emit("upsample", [src(0), kn], mode=m)
+            return self._emit_upsample(src(0), sf, mode,
+                                       node.kwargs.get("align_corners"))
         if fn is F.max_pool2d:
             k = a[1] if len(a) > 1 else node.kwargs["kernel_size"]
             k = k if isinstance(k, (tuple, list)) else (k, k)

@@ -115,6 +115,21 @@ class Graph:
         """Names of the tensors produced by the final flow edge."""
         return list(self.flow[-1].dst)
 
+    def weight_users(self) -> dict[str, list[tuple[str, int]]]:
+        """init name -> [(opcode, positional index)] across the flow program
+        (chain semantics: non-first layers read the edge dst)."""
+        users: dict[str, list[tuple[str, int]]] = {}
+        layers = self.layer_map()
+        inits = {n for n, _, _ in self.inits}
+        for e in self.flow:
+            for li, lname in enumerate(e.layers):
+                src = e.src if li == 0 else e.dst
+                for pidx, sname in enumerate(src):
+                    if sname in inits:
+                        users.setdefault(sname, []).append(
+                            (layers[lname].op, pidx))
+        return users
+
     # ------------------------------------------------------------ validation
     def validate(self) -> None:
         lm = self.layer_map()

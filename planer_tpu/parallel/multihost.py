@@ -14,8 +14,9 @@ detection anywhere).  Serving-scope mechanisms here:
 """
 from __future__ import annotations
 
-import concurrent.futures as _fut
 import os
+import queue as _queue
+import threading
 import time
 
 import numpy as np
@@ -48,16 +49,28 @@ def initialize(coordinator_address: str | None = None,
             process_id if process_id is not None
             else os.environ["JAX_PROCESS_ID"])
 
-    with _fut.ThreadPoolExecutor(1) as ex:
-        f = ex.submit(jax.distributed.initialize, **kwargs)
+    # daemon thread + queue: a hung initialize must not block our return
+    # (a ThreadPoolExecutor context manager would join the stuck worker)
+    done: _queue.Queue = _queue.Queue()
+
+    def _run():
         try:
-            f.result(timeout=timeout_s)
-        except _fut.TimeoutError:
-            raise TimeoutError(
-                f"jax.distributed.initialize did not complete within "
-                f"{timeout_s}s (coordinator "
-                f"{kwargs.get('coordinator_address', '<auto>')} unreachable?)"
-            ) from None
+            jax.distributed.initialize(**kwargs)
+            done.put((True, None))
+        except Exception as e:  # surfaced to the caller below
+            done.put((False, e))
+
+    threading.Thread(target=_run, daemon=True).start()
+    try:
+        ok, err = done.get(timeout=timeout_s)
+    except _queue.Empty:
+        raise TimeoutError(
+            f"jax.distributed.initialize did not complete within "
+            f"{timeout_s}s (coordinator "
+            f"{kwargs.get('coordinator_address', '<auto>')} unreachable?)"
+        ) from None
+    if not ok:
+        raise err
     import jax as _j
     return {"process_index": _j.process_index(),
             "process_count": _j.process_count(),
@@ -70,20 +83,30 @@ def health_check(deadline_s: float = 10.0) -> dict:
     import jax.numpy as jnp
 
     results = {}
+    out: _queue.Queue = _queue.Queue()
 
     def probe(dev):
-        t0 = time.perf_counter()
-        x = jax.device_put(jnp.ones((8, 8), jnp.float32), dev)
-        float(np.asarray(x + 1).sum())
-        return time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            x = jax.device_put(jnp.ones((8, 8), jnp.float32), dev)
+            float(np.asarray(x + 1).sum())
+            out.put((str(dev), {"ok": True,
+                                "latency_s": time.perf_counter() - t0}))
+        except Exception as e:
+            out.put((str(dev), {"ok": False, "error": repr(e)[:200]}))
 
-    with _fut.ThreadPoolExecutor(max_workers=8) as ex:
-        futs = {ex.submit(probe, d): d for d in jax.local_devices()}
-        for f, d in futs.items():
-            try:
-                dt = f.result(timeout=deadline_s)
-                results[str(d)] = {"ok": True, "latency_s": dt}
-            except Exception as e:
-                results[str(d)] = {"ok": False, "error": repr(e)[:200]}
+    devs = jax.local_devices()
+    for d in devs:  # daemon threads: a wedged device must not block us
+        threading.Thread(target=probe, args=(d,), daemon=True).start()
+    deadline = time.monotonic() + deadline_s
+    for _ in devs:
+        left = deadline - time.monotonic()
+        try:
+            name, res = out.get(timeout=max(left, 0.001))
+            results[name] = res
+        except _queue.Empty:
+            break
+    for d in devs:  # anything that never reported is unhealthy
+        results.setdefault(str(d), {"ok": False, "error": "probe timed out"})
     healthy = all(v["ok"] for v in results.values())
     return {"healthy": healthy, "devices": results}

@@ -39,20 +39,6 @@ def make_mesh(shape=None, axis_names=("data", "model"), devices=None) -> Mesh:
     return Mesh(arr, axis_names)
 
 
-def _weight_consumers(graph: Graph) -> dict[str, tuple[str, int]]:
-    """init name -> (opcode, position) of its first consumer."""
-    out: dict[str, tuple[str, int]] = {}
-    layers = graph.layer_map()
-    inits = set(graph.init_names())
-    for e in graph.flow:
-        for li, lname in enumerate(e.layers):
-            src = e.src if li == 0 else e.dst
-            for p, s in enumerate(src):
-                if s in inits and s not in out:
-                    out[s] = (layers[lname].op, p)
-    return out
-
-
 def _spec_for(name: str, leaf, op: str, pos: int, tp_axis: str) -> P:
     """Output-channel TP spec for one weight leaf."""
     shape = leaf.shape
@@ -89,7 +75,7 @@ def _spec_for(name: str, leaf, op: str, pos: int, tp_axis: str) -> P:
 def param_shardings(graph: Graph, params: dict, mesh: Mesh,
                     tp_axis: str = "model"):
     """NamedSharding pytree matching a TracedProgram params dict."""
-    consumers = _weight_consumers(graph)
+    consumers = {n: u[0] for n, u in graph.weight_users().items()}
 
     def leaf_sharding(name, leaf):
         op, pos = consumers.get(name, (None, -1))

@@ -39,25 +39,11 @@ _MODES = {
 }
 
 
-def _weight_users(graph: Graph) -> dict[str, list[tuple[str, int]]]:
-    """init name -> [(opcode, position)] across the flow program."""
-    users: dict[str, list[tuple[str, int]]] = {}
-    layers = graph.layer_map()
-    inits = set(graph.init_names())
-    for e in graph.flow:
-        for li, lname in enumerate(e.layers):
-            src = e.src if li == 0 else e.dst
-            for p, s in enumerate(src):
-                if s in inits:
-                    users.setdefault(s, []).append((layers[lname].op, p))
-    return users
-
-
 def quantize_net(net, mode: str = "int8", skip: tuple = ()):
     """In-place weight-only quantization of a Net's GEMM-shaped weights."""
     qdtype, qmax = _MODES[mode]
     graph: Graph = net.graph
-    users = _weight_users(graph)
+    users = graph.weight_users()
     idx = graph.init_index()
     new_inits = list(graph.inits)
     quant = dict(graph.quant)

@@ -16,6 +16,7 @@ dispatcher, per-host queues feed device-sharded batches (the DP axis).
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -29,19 +30,30 @@ __all__ = ["ServingEngine", "ServingStats"]
 
 @dataclass
 class ServingStats:
+    """Bounded: percentile windows keep the last N batches so a long-lived
+    server neither grows without bound nor pays O(uptime) per stats() call."""
+
     requests: int = 0
     batches: int = 0
     padded: int = 0                      # padding rows executed
-    latencies_ms: list = field(default_factory=list)
-    occupancy: list = field(default_factory=list)
+    window: int = 4096
+    latencies_ms: collections.deque = None
+    occupancy: collections.deque = None
+
+    def __post_init__(self):
+        if self.latencies_ms is None:
+            self.latencies_ms = collections.deque(maxlen=self.window)
+        if self.occupancy is None:
+            self.occupancy = collections.deque(maxlen=self.window)
 
     def summary(self) -> dict:
         lat = sorted(self.latencies_ms)
         n = len(lat)
+        occ = list(self.occupancy)
         return {
             "requests": self.requests,
             "batches": self.batches,
-            "avg_occupancy": float(np.mean(self.occupancy)) if self.occupancy else 0.0,
+            "avg_occupancy": float(np.mean(occ)) if occ else 0.0,
             "pad_fraction": (self.padded / max(1, self.requests + self.padded)),
             "p50_ms": lat[n // 2] if n else 0.0,
             "p99_ms": lat[min(n - 1, int(n * 0.99))] if n else 0.0,
@@ -87,6 +99,13 @@ class ServingEngine:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail, not strand, anything still queued (futures must resolve)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            item[1].set_exception(RuntimeError("serving engine closed"))
 
     def __enter__(self):
         return self
@@ -118,7 +137,19 @@ class ServingEngine:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            # group by example shape/dtype (mixed requests must not kill the
+            # dispatcher or each other); each group runs as its own batch
+            groups: dict = {}
+            for item in batch:
+                groups.setdefault((item[0].shape, str(item[0].dtype)),
+                                  []).append(item)
+            for g in groups.values():
+                try:
+                    self._run_batch(g)
+                except Exception as e:  # fail the batch, never the thread
+                    for item in g:
+                        if not item[1].done():
+                            item[1].set_exception(e)
 
     def _run_batch(self, batch):
         xs = [b[0] for b in batch]

@@ -120,3 +120,23 @@ def test_unsupported_module_raises():
     model = nn.Sequential(nn.Conv2d(3, 4, 1), nn.GLU(dim=1))
     with pytest.raises(NotImplementedError):
         fx_to_graph(model)
+
+
+def test_bilinear_upsample_coordinates(rng):
+    """torch bilinear (align_corners=False) uses half-pixel coords; the
+    lowering must match torch numerically, not just structurally."""
+    for align in (False, True):
+        model = nn.Sequential(
+            nn.Upsample(scale_factor=2, mode="bilinear", align_corners=align))
+        x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+        _run_both(model, x, tol=1e-5)
+
+
+def test_interpolate_functional_bilinear(rng):
+    class M(nn.Module):
+        def forward(self, x):
+            return F.interpolate(x, scale_factor=2, mode="bilinear",
+                                 align_corners=False)
+
+    x = rng.standard_normal((1, 2, 5, 5)).astype(np.float32)
+    _run_both(M(), x, tol=1e-5)
