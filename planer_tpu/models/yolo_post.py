@@ -88,7 +88,10 @@ def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
     """
     size = img.shape[-1]
     heads = net(img)
-    dec = decode_heads(heads, img_size=size, num_classes=num_classes)
+    if isinstance(heads, (tuple, list)) and len(heads) == 3:
+        dec = decode_heads(heads, img_size=size, num_classes=num_classes)
+    else:  # net built with decode=True: already (N, boxes, 5+C)
+        dec = np.asarray(heads)
     results = []
     from .. import native
     for bi in range(dec.shape[0]):

@@ -22,7 +22,82 @@ YOLO_ANCHORS = {
 }
 
 
-def yolov3(num_classes: int = 80, seed: int = 0):
+def _decode_head(b: GraphBuilder, t: str, stride: int, num_classes: int,
+                 rng) -> str:
+    """In-graph box decode for one head: (N, 3*(5+C), H, W) ->
+    (N, 3*H*W, 5+C) with [cx, cy, w, h, obj, cls...] in pixels.
+
+    All index/grid math is expressed as shape-chain IR ops (Shape/Range/
+    Expand/...), which the tracer hoists to trace-time numpy — the compiled
+    program only contains the sigmoid/exp/mul/add tensor math.  Exercises
+    SURVEY §7 hard-part #1's 'dense decode on device, NMS on host' split.
+    """
+    na = 3
+    C = num_classes
+    nm = f"dec{stride}"
+    # ---- static shape scalars
+    shp = b.shape(t, name=f"{nm}.shape")
+    i2 = b.weight(f"{nm}.i2", np.array(2, np.int64))
+    i3 = b.weight(f"{nm}.i3", np.array(3, np.int64))
+    h = b.gather(shp, i2, name=f"{nm}.h")          # scalar
+    w = b.gather(shp, i3, name=f"{nm}.w")
+    hu = b.unsqueeze(h, axes=[0], name=f"{nm}.hu")
+    wu = b.unsqueeze(w, axes=[0], name=f"{nm}.wu")
+    head_dims = b.weight(f"{nm}.hd", np.array([0, na, 5 + C], np.int64))
+    tgt5 = b.concat(head_dims, hu, wu, axis=0, name=f"{nm}.tgt5")
+    t5 = b.reshape(t, tgt5, name=f"{nm}.r5")       # (N,3,5+C,H,W)
+    t5 = b.transpose(t5, axis=[0, 1, 3, 4, 2], name=f"{nm}.tr")  # (N,3,H,W,5+C)
+
+    # ---- channel slices (static bounds)
+    def _slice(name, lo, hi):
+        st = b.weight(f"{nm}.{name}.st", np.array([lo], np.int64))
+        en = b.weight(f"{nm}.{name}.en", np.array([hi], np.int64))
+        ax = b.weight(f"{nm}.{name}.ax", np.array([4], np.int64))
+        return b.slice(t5, st, en, ax, name=f"{nm}.{name}")
+
+    txy = _slice("xy", 0, 2)
+    twh = _slice("wh", 2, 4)
+    trest = _slice("rest", 4, 5 + C)
+
+    # ---- grid (static chain -> trace-time constant)
+    z = b.weight(f"{nm}.z", np.array(0, np.int64))
+    one = b.weight(f"{nm}.one", np.array(1, np.int64))
+    rx = b.cast(b.range(z, w, one, name=f"{nm}.rx"), dtype="float32",
+                name=f"{nm}.rxf")
+    ry = b.cast(b.range(z, h, one, name=f"{nm}.ry"), dtype="float32",
+                name=f"{nm}.ryf")
+    hw = b.concat(hu, wu, axis=0, name=f"{nm}.hw")
+    row = b.reshape(rx, b.weight(f"{nm}.rs", np.array([1, -1], np.int64)),
+                    name=f"{nm}.row")
+    col = b.reshape(ry, b.weight(f"{nm}.cs", np.array([-1, 1], np.int64)),
+                    name=f"{nm}.col")
+    gx = b.expand(row, hw, name=f"{nm}.gx")        # (H, W)
+    gy = b.expand(col, hw, name=f"{nm}.gy")
+    gxu = b.unsqueeze(gx, axes=[0, 1, 4], name=f"{nm}.gxu")  # (1,1,H,W,1)
+    gyu = b.unsqueeze(gy, axes=[0, 1, 4], name=f"{nm}.gyu")
+    grid = b.concat(gxu, gyu, axis=4, name=f"{nm}.grid")     # (1,1,H,W,2)
+
+    stride_c = b.weight(f"{nm}.stride", np.array(float(stride), np.float32))
+    anchors = b.weight(
+        f"{nm}.anchors",
+        np.asarray(YOLO_ANCHORS[stride], np.float32).reshape(1, na, 1, 1, 2))
+
+    xy = b.sigmoid(txy, name=f"{nm}.sxy")
+    xy = b.add(xy, grid, name=f"{nm}.xyg")
+    xy = b.mul(xy, stride_c, name=f"{nm}.xys")
+    # clip pre-exp so random-weight extremes stay finite (matches host decode)
+    wh = b.clip(twh, min=-20.0, max=20.0, name=f"{nm}.whc")
+    wh = b.exp(wh, name=f"{nm}.ewh")
+    wh = b.mul(wh, anchors, name=f"{nm}.wha")
+    rest = b.sigmoid(trest, name=f"{nm}.srest")
+    dec = b.concat(xy, wh, rest, axis=4, name=f"{nm}.cat")
+    flat = b.weight(f"{nm}.flat", np.array([0, -1, 5 + C], np.int64))
+    return b.reshape(dec, flat, name=f"{nm}.out")  # (N, 3*H*W, 5+C)
+
+
+def yolov3(num_classes: int = 80, seed: int = 0, decode: bool = False):
+    """Darknet-53 + FPN heads.  ``decode=True`` appends the in-graph box
+    decode and returns a single (N, total_boxes, 5+C) tensor (pixels)."""
     rng = np.random.default_rng(seed)
     b = GraphBuilder(["x"])
 
@@ -105,5 +180,12 @@ def yolov3(num_classes: int = 80, seed: int = 0):
     h3 = convset(h3, 128 + 256, 128, "h3")
     out_s = detect(h3, 128, "det8")             # stride 8
 
-    b.ret([out_l, out_m, out_s])
+    if decode:
+        d32 = _decode_head(b, out_l, 32, num_classes, rng)
+        d16 = _decode_head(b, out_m, 16, num_classes, rng)
+        d8 = _decode_head(b, out_s, 8, num_classes, rng)
+        dec = b.concat(d32, d16, d8, axis=1, name="decode.cat")
+        b.ret(dec)
+    else:
+        b.ret([out_l, out_m, out_s])
     return b.build_net()

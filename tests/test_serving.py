@@ -92,3 +92,35 @@ def test_health_check():
     h = health_check(deadline_s=30)
     assert h["healthy"]
     assert all(v["ok"] for v in h["devices"].values())
+
+
+def test_mixed_shapes_dont_kill_dispatcher(net, rng):
+    """Different request shapes batch separately; dispatcher survives."""
+    with ServingEngine(net, buckets=(1, 2, 4), max_delay_ms=30) as eng:
+        f1 = eng.submit(rng.standard_normal((3, 32, 32)).astype(np.float32))
+        f2 = eng.submit(rng.standard_normal((3, 64, 64)).astype(np.float32))
+        o1 = f1.result(timeout=60)
+        o2 = f2.result(timeout=60)
+        assert o1.shape == (8,) and o2.shape == (8,)
+        assert eng._thread.is_alive()
+
+
+def test_close_fails_pending_futures():
+    import time as _t
+
+    class Slow:
+        def __call__(self, x):
+            _t.sleep(0.5)
+            return np.zeros((x.shape[0], 2), np.float32)
+
+    eng = ServingEngine(Slow(), buckets=(1,), max_delay_ms=1)
+    futs = [eng.submit(np.zeros((3, 4, 4), np.float32)) for _ in range(8)]
+    eng.close()
+    resolved = 0
+    for f in futs:
+        try:
+            f.result(timeout=10)
+            resolved += 1
+        except RuntimeError:
+            resolved += 1
+    assert resolved == 8  # every future resolves (result or close error)
