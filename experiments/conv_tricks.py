@@ -147,3 +147,52 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def stem_combo():
+    """Stem as s2d + output-row stacking: 7x7/2 3ch -> 5x4 s(2,1) 12ch->128."""
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((2, 3, 224, 224)), jnp.float32)
+    Ks = jnp.asarray(rng.standard_normal((64, 3, 7, 7)) * 0.1, jnp.float32)
+    ref = conv(xs, Ks, (2, 2), ((3, 3), (3, 3)))
+
+    Kp = stem_s2d_kernel(Ks)                      # (64, 12, 4, 4)
+    K2 = jnp.zeros((128, 12, 5, 4), jnp.float32)
+    K2 = K2.at[:64, :, 0:4, :].set(Kp)
+    K2 = K2.at[64:, :, 1:5, :].set(Kp)
+
+    def stem2(x):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (4, 3), (4, 2)))  # rows 231->s2d odd?
+        # need odd s2d rows (115) for T=56: pad H to 230 -> 115 s2d rows
+        xp = xp[:, :, :230, :230]
+        xd = s2d(xp)                               # (n, 12, 115, 115)
+        z = conv(xd, K2, (2, 1), ((0, 0), (0, 0)))  # (n, 128, 56, 112)
+        n, _, T, W = z.shape
+        z = z.reshape(n, 2, 64, T, W).transpose(0, 2, 3, 1, 4)
+        return z.reshape(n, 64, 2 * T, W)[:, :, :112, :112]
+
+    out = stem2(xs)
+    err = float(jnp.abs(out - ref).max())
+    print(f"stem s2d+stacked equivalence: max|dx| = {err:.2e}")
+
+    xb = jnp.zeros((B, 3, 224, 224), DT)
+    K2b = jnp.asarray(K2, DT)
+    Ksb = jnp.asarray(Ks, DT)
+
+    def stem2_b(x):
+        xp = jnp.pad(x, ((0, 0), (0, 0), (4, 3), (4, 2)))[:, :, :230, :230]
+        xd = s2d(xp)
+        z = conv(xd, K2b, (2, 1), ((0, 0), (0, 0)))
+        n, _, T, W = z.shape
+        z = z.reshape(n, 2, 64, T, W).transpose(0, 2, 3, 1, 4)
+        return z.reshape(n, 64, 2 * T, W)[:, :, :112, :112].astype(DT)
+
+    t_plain = time_loop(lambda v: conv(v, Ksb, (2, 2), ((3, 3), (3, 3))
+                                       ).astype(DT), xb)
+    t_combo = time_loop(stem2_b, xb)
+    print(f"stem plain      : {t_plain*1e3:.3f} ms")
+    print(f"stem s2d+stacked: {t_combo*1e3:.3f} ms ({t_plain/t_combo:.2f}x, incl. s2d)")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "stem":
+    stem_combo()
