@@ -95,7 +95,9 @@ _LOWER = {
     "AveragePool": lambda a: ("averagepool", {
         "w": a.get("kernel_shape"), "pads": _check_autopad(a, pool=True),
         "strides": a.get("strides"),
-        **_take(a, "count_include_pad")}),
+        # ONNX default EXCLUDES padding from the divisor (the op's own
+        # default of 1 exists only for reference wire-parity)
+        "count_include_pad": a.get("count_include_pad", 0)}),
     "GlobalAveragePool": _simple("gap"),
     "Upsample": lambda a: ("upsample", _take(a, "mode")),
     "Resize": lambda a: ("resize", _take(

@@ -149,7 +149,9 @@ class _Lowerer:
             p = mod.padding if isinstance(mod.padding, tuple) \
                 else (mod.padding,) * 2
             return self.emit("averagepool", [x], w=list(k),
-                             pads=[p[0], p[1], p[0], p[1]], strides=list(s))
+                             pads=[p[0], p[1], p[0], p[1]], strides=list(s),
+                             count_include_pad=1 if mod.count_include_pad
+                             else 0)
         if isinstance(mod, nn.AdaptiveAvgPool2d):
             out = mod.output_size
             if out in (1, (1, 1)):
