@@ -4,6 +4,9 @@ Builds the native ResNet-18, quantizes to INT8 with bf16 compute, and
 classifies a synthetic image. Swap in `pt.read_net("resnet18.onnx")` or
 `pt.torch2planer(torchvision_model, "resnet18")` for real weights.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import planer_tpu as pt
 from planer_tpu import models

@@ -1,5 +1,8 @@
 """Demo: YOLO-v3 detection — jitted multi-scale heads on device, box decode
 + native C++ NMS on host."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 from planer_tpu import models, native
 

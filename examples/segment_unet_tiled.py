@@ -1,5 +1,8 @@
 """Demo: UNet segmentation with tiled big-image inference
 (reference tile() pattern, util.py:291-348)."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 import planer_tpu as pt
 from planer_tpu import models

@@ -1,4 +1,7 @@
 """Demo: continuous-batching serving front end with shape buckets."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import threading
 import numpy as np
 import planer_tpu as pt
