@@ -55,6 +55,7 @@ def main():
     from planer_tpu import models
 
     net = models.resnet18()
+    net.optimize()                   # fold BN affines into conv weights
     net.quantize("int8")
     net.astype_compute("bfloat16")   # bf16 activations, int8 weights
     prog = net.program

@@ -66,6 +66,12 @@ class Net:
                 self.weights[i] = w.astype(dtype)
         self._invalidate()
 
+    def optimize(self):
+        """Run IR-level optimization passes (BN-into-conv folding, ...).
+        Call before quantize() so per-channel scales absorb folded gains."""
+        from ..optimize import optimize as _opt
+        return _opt(self)
+
     def quantize(self, mode: str = "int8", skip: tuple = ()):
         """Weight-only quantization with per-output-channel scales."""
         from ..quant import quantize_net
