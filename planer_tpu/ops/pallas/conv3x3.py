@@ -55,38 +55,54 @@ def pack_weights_dual(K_oihw: np.ndarray):
     return W
 
 
-def _kernel(x_hbm, w_ref, s_ref, b_ref, o_ref, slab, sem, *, BR, Wd, C, O,
-            relu, Hp):
+def _kernel(x_hbm, w_ref, s_ref, b_ref, o_ref, slab, A_scratch, sem, *, BR,
+            Wd, C, O, relu, Hp):
     """One program: output rows [r*BR, r*BR+BR) of one image."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    n = pl.program_id(0)
     r = pl.program_id(1)
-    # DMA the (BR+2)-row input slab (overlapping blocks -> manual copy)
+    # DMA the (BR+2)-row input slab (overlapping blocks -> manual copy;
+    # the full array stays in ANY/HBM, indexed per program)
     cp = pltpu.make_async_copy(
-        x_hbm.at[0, pl.ds(r * BR, BR + 2)], slab, sem)
+        x_hbm.at[n, pl.ds(r * BR, BR + 2)], slab, sem)
     cp.start()
     wq = w_ref[...].astype(jnp.bfloat16)          # (12C, 2O) dequant once
     cp.wait()
 
-    # build the patch matrix A: (BR/2 * Wd, 12C)
+    # build the patch matrix A: (BR/2 * Wd, 12C).  Mosaic forbids stride-2
+    # slices, so view the slab as row PAIRS and pick parity by unit index:
+    # patch row dr over patches t: slab rows {2t + dr} = pairs[t + dr//2,
+    # dr%2].
     xs = slab[...].astype(jnp.bfloat16)           # (BR+2, Wd+2, C)
-    pieces = []
+    pairs = xs.reshape((BR + 2) // 2, 2, Wd + 2, C)
+    M = (BR // 2) * Wd
+    # stage pieces through VMEM scratch: stores perform the relayout that a
+    # direct lane-dim concatenate of offset-mismatched vectors cannot
+    idx = 0
     for dr in range(4):
-        rows = jax.lax.slice_in_dim(xs, dr, dr + BR - 1, 2, axis=0)
+        o, e = dr // 2, dr % 2
+        rows = jax.lax.slice_in_dim(pairs, o, o + BR // 2, axis=0)
+        rows = jax.lax.index_in_dim(rows, e, axis=1, keepdims=False)
         # rows: (BR/2, Wd+2, C) -> 3 column taps
         for dc in range(3):
-            pieces.append(jax.lax.slice_in_dim(rows, dc, dc + Wd, axis=1))
-    A = jnp.concatenate(pieces, axis=-1)          # (BR/2, Wd, 12C)
-    A = A.reshape((BR // 2) * Wd, 12 * C)
+            piece = jax.lax.slice_in_dim(rows, dc, dc + Wd, axis=1)
+            A_scratch[:, idx * C:(idx + 1) * C] = piece.reshape(M, C)
+            idx += 1
 
-    acc = jnp.dot(A, wq, preferred_element_type=jnp.float32)  # (M, 2O)
+    acc = jnp.dot(A_scratch[...], wq,
+                  preferred_element_type=jnp.float32)  # (M, 2O)
     acc = acc * s_ref[...] + b_ref[...]
     if relu:
         acc = jnp.maximum(acc, 0.0)
-    # un-interleave banks -> rows, in VMEM
-    out = acc.reshape(BR // 2, Wd, 2, O).swapaxes(1, 2)      # (BR/2,2,Wd,O)
-    o_ref[...] = out.reshape(1, BR, Wd, O).astype(o_ref.dtype)
+    # split banks via lane slices (Mosaic cannot reshape-split the lane dim);
+    # the caller's (N, H/2, 2, W, O) -> (N, H, W, O) interleave is then a
+    # metadata-only reshape outside the kernel
+    b0 = acc[:, :O].reshape(BR // 2, Wd, O)
+    b1 = acc[:, O:].reshape(BR // 2, Wd, O)
+    o_ref[0, :, 0] = b0.astype(o_ref.dtype)
+    o_ref[0, :, 1] = b1.astype(o_ref.dtype)
 
 
 def supports(O, C, H, W):
@@ -116,16 +132,17 @@ def conv3x3_dual(x, K_packed, scale2, bias2, relu=False, interpret=False,
         partial(_kernel, BR=BR, Wd=Wd, C=C, O=O, relu=relu, Hp=H + 2),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, H + 2, Wd + 2, C), lambda n, r: (n, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BR, Wd, O), lambda n, r: (n, r, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, H, Wd, O), x.dtype),
+        out_specs=pl.BlockSpec((1, BR // 2, 2, Wd, O),
+                               lambda n, r: (n, r, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H // 2, 2, Wd, O), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((BR + 2, Wd + 2, C), x.dtype),
+            pltpu.VMEM(((BR // 2) * Wd, 12 * C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
@@ -136,4 +153,5 @@ def conv3x3_dual(x, K_packed, scale2, bias2, relu=False, interpret=False,
         ),
         interpret=interpret,
     )(xp, K_packed, scale2, bias2)
-    return out
+    # (t, parity) are adjacent row-major dims: merging them IS the interleave
+    return out.reshape(N, H, Wd, O)
