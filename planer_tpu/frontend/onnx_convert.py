@@ -144,6 +144,24 @@ _LOWER = {
     "InstanceNormalization": lambda a: (
         "instancenormalization", _take(a, "epsilon")),
     "Clip": lambda a: ("clip", _take(a, "min", "max")),
+    # extended set
+    "Abs": _simple("abs"), "Neg": _simple("neg"),
+    "Min": _simple("min"), "Max": _simple("max"),
+    "Floor": _simple("floor"), "Ceil": _simple("ceil"),
+    "Round": _simple("round"), "Sign": _simple("sign"),
+    "PRelu": _simple("prelu"),
+    "Elu": lambda a: ("elu", _take(a, "alpha")),
+    "Softplus": _simple("softplus"),
+    "Gelu": lambda a: ("gelu", _take(a, "approximate")),
+    "ArgMax": lambda a: ("argmax", _take(a, "axis", "keepdims",
+                                         "select_last_index")),
+    "ArgMin": lambda a: ("argmin", _take(a, "axis", "keepdims",
+                                         "select_last_index")),
+    "ReduceProd": lambda a: ("reduceprod", _take(a, "axes", "keepdims")),
+    "GlobalMaxPool": _simple("gmp"),
+    "SpaceToDepth": lambda a: ("spacetodepth", _take(a, "blocksize")),
+    "DepthToSpace": lambda a: ("depthtospace", _take(a, "blocksize", "mode")),
+    "Mean": _simple("mean"), "Sum": _simple("sum"),
 }
 
 

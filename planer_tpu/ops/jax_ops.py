@@ -575,3 +575,112 @@ def resize_op(x, roi=None, k=None, size=None, mode="nearest",
 
 def return_(*xs):
     return xs
+
+
+# --------------------------------------------------------------------------
+# extended op set (beyond the reference's layer_map — modern ONNX exporters)
+# --------------------------------------------------------------------------
+
+def absolute(x):
+    return jnp.abs(x)
+
+
+def negative(x):
+    return -x
+
+
+def minimum(a, b):
+    return jnp.minimum(a, b)
+
+
+def maximum(a, b):
+    return jnp.maximum(a, b)
+
+
+def floor(x):
+    return jnp.floor(x)
+
+
+def ceil(x):
+    return jnp.ceil(x)
+
+
+def round_(x):
+    return jnp.rint(x)
+
+
+def sign(x):
+    return jnp.sign(x)
+
+
+def prelu(x, slope):
+    if hasattr(slope, "ndim") and slope.ndim == 1 and x.ndim == 4:
+        slope = slope.reshape(1, -1, 1, 1)
+    return jnp.where(x > 0, x, x * slope)
+
+
+def elu(x, alpha=1.0):
+    return jax.nn.elu(x, alpha=alpha)
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def gelu(x, approximate="none"):
+    return jax.nn.gelu(x, approximate=(approximate == "tanh"))
+
+
+def argmax(x, axis=0, keepdims=1, select_last_index=0):
+    out = jnp.argmax(x, axis=axis).astype(jnp.int64)
+    if keepdims:
+        out = jnp.expand_dims(out, axis)
+    return out
+
+
+def argmin(x, axis=0, keepdims=1, select_last_index=0):
+    out = jnp.argmin(x, axis=axis).astype(jnp.int64)
+    if keepdims:
+        out = jnp.expand_dims(out, axis)
+    return out
+
+
+def reduce_prod(x, axes=None, keepdims=1):
+    return jnp.prod(x, axis=_norm_axes(axes, x.ndim), keepdims=bool(keepdims))
+
+
+def global_max_pool(x):
+    return jnp.max(x, axis=(-2, -1), keepdims=True)
+
+
+def space_to_depth(x, blocksize=2):
+    n, c, h, w = x.shape
+    b = int(blocksize)
+    x = x.reshape(n, c, h // b, b, w // b, b)
+    return x.transpose(0, 3, 5, 1, 2, 4).reshape(n, c * b * b, h // b, w // b)
+
+
+def depth_to_space(x, blocksize=2, mode="DCR"):
+    n, c, h, w = x.shape
+    b = int(blocksize)
+    if mode == "DCR":
+        x = x.reshape(n, b, b, c // (b * b), h, w)
+        x = x.transpose(0, 3, 4, 1, 5, 2)
+    else:  # CRD
+        x = x.reshape(n, c // (b * b), b, b, h, w)
+        x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, c // (b * b), h * b, w * b)
+
+
+def mean_variadic(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = out + x
+    return out / len(xs)
+
+
+def sum_variadic(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = out + x
+    return out

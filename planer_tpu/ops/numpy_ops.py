@@ -519,3 +519,114 @@ def resize_op(x, roi=None, k=None, size=None, mode="nearest",
 
 def return_(*xs):
     return xs
+
+
+# --------------------------------------------------------------------------
+# extended op set (beyond the reference's layer_map — modern ONNX exporters)
+# --------------------------------------------------------------------------
+
+def absolute(x):
+    return np.abs(x)
+
+
+def negative(x):
+    return -x
+
+
+def minimum(a, b):
+    return np.minimum(a, b)
+
+
+def maximum(a, b):
+    return np.maximum(a, b)
+
+
+def floor(x):
+    return np.floor(x)
+
+
+def ceil(x):
+    return np.ceil(x)
+
+
+def round_(x):
+    # ONNX Round: banker's rounding (round-half-to-even), == np.rint
+    return np.rint(x)
+
+
+def sign(x):
+    return np.sign(x)
+
+
+def prelu(x, slope):
+    slope = np.asarray(slope)
+    if slope.ndim == 1 and x.ndim == 4:  # per-channel on NCHW
+        slope = slope.reshape(1, -1, 1, 1)
+    return np.where(x > 0, x, x * slope)
+
+
+def elu(x, alpha=1.0):
+    return np.where(x > 0, x, alpha * (np.exp(np.minimum(x, 0)) - 1))
+
+
+def softplus(x):
+    return np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0)
+
+
+def gelu(x, approximate="none"):
+    if approximate == "tanh":
+        c = np.sqrt(2.0 / np.pi)
+        return 0.5 * x * (1 + np.tanh(c * (x + 0.044715 * x**3)))
+    return 0.5 * x * (1 + _erf(x / np.sqrt(2.0)).astype(x.dtype))
+
+
+def argmax(x, axis=0, keepdims=1, select_last_index=0):
+    out = np.argmax(x, axis=axis).astype(np.int64)
+    if keepdims:
+        out = np.expand_dims(out, axis)
+    return out
+
+
+def argmin(x, axis=0, keepdims=1, select_last_index=0):
+    out = np.argmin(x, axis=axis).astype(np.int64)
+    if keepdims:
+        out = np.expand_dims(out, axis)
+    return out
+
+
+def reduce_prod(x, axes=None, keepdims=1):
+    return x.prod(axis=_norm_axes(axes, x.ndim), keepdims=bool(keepdims))
+
+
+def global_max_pool(x):
+    return x.max(axis=(-2, -1), keepdims=True)
+
+
+def space_to_depth(x, blocksize=2):
+    n, c, h, w = x.shape
+    b = int(blocksize)
+    x = x.reshape(n, c, h // b, b, w // b, b)
+    return x.transpose(0, 3, 5, 1, 2, 4).reshape(n, c * b * b, h // b, w // b)
+
+
+def depth_to_space(x, blocksize=2, mode="DCR"):
+    n, c, h, w = x.shape
+    b = int(blocksize)
+    if mode == "DCR":
+        x = x.reshape(n, b, b, c // (b * b), h, w)
+        x = x.transpose(0, 3, 4, 1, 5, 2)
+    else:  # CRD
+        x = x.reshape(n, c // (b * b), b, b, h, w)
+        x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, c // (b * b), h * b, w * b)
+
+
+def mean_variadic(*xs):
+    return sum(xs) / len(xs)
+
+
+def sum_variadic(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = out + x
+    return out

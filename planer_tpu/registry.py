@@ -120,6 +120,28 @@ _reg("reducemin", nops.reduce_min, jops.reduce_min)
 _reg("upsample", nops.upsample, jops.upsample, static_args=(1,))
 _reg("resize", nops.resize_op, jops.resize_op, static_args=(1, 2, 3))
 
+# extended set (beyond the reference layer_map; modern ONNX exporters)
+_reg("abs", nops.absolute, jops.absolute)
+_reg("neg", nops.negative, jops.negative)
+_reg("min", nops.minimum, jops.minimum)
+_reg("max", nops.maximum, jops.maximum)
+_reg("floor", nops.floor, jops.floor)
+_reg("ceil", nops.ceil, jops.ceil)
+_reg("round", nops.round_, jops.round_)
+_reg("sign", nops.sign, jops.sign)
+_reg("prelu", nops.prelu, jops.prelu)
+_reg("elu", nops.elu, jops.elu)
+_reg("softplus", nops.softplus, jops.softplus)
+_reg("gelu", nops.gelu, jops.gelu)
+_reg("argmax", nops.argmax, jops.argmax)
+_reg("argmin", nops.argmin, jops.argmin)
+_reg("reduceprod", nops.reduce_prod, jops.reduce_prod)
+_reg("gmp", nops.global_max_pool, jops.global_max_pool)
+_reg("spacetodepth", nops.space_to_depth, jops.space_to_depth)
+_reg("depthtospace", nops.depth_to_space, jops.depth_to_space)
+_reg("mean", nops.mean_variadic, jops.mean_variadic)
+_reg("sum", nops.sum_variadic, jops.sum_variadic)
+
 # control
 _reg("return", nops.return_, jops.return_, multi_output=True)
 

@@ -272,3 +272,49 @@ def test_stacked_conv_not_applied_odd_h(rng):
     ref = nops.conv2d(x, K, None, pads=(1, 1, 1, 1))
     out = jops2.conv2d(x, K, None, pads=(1, 1, 1, 1))
     assert_close(out, ref, tol=1e-4)
+
+
+EXT_UNARY = ["absolute", "negative", "floor", "ceil", "round_", "sign",
+             "softplus"]
+
+
+@pytest.mark.parametrize("name", EXT_UNARY)
+def test_extended_unary(rng, name):
+    x = rng.standard_normal((3, 17)).astype(np.float32) * 2
+    assert_close(getattr(nops, name)(x), getattr(jops, name)(x), tol=1e-5)
+
+
+def test_extended_misc(rng):
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    b = rng.standard_normal((3, 4)).astype(np.float32)
+    assert_close(nops.minimum(a, b), jops.minimum(a, b))
+    assert_close(nops.maximum(a, b), jops.maximum(a, b))
+    assert_close(nops.elu(a, 0.7), jops.elu(a, 0.7), tol=1e-5)
+    assert_close(nops.gelu(a), jops.gelu(a), tol=1e-5)
+    assert_close(nops.gelu(a, "tanh"), jops.gelu(a, "tanh"), tol=1e-5)
+    slope = rng.random(4).astype(np.float32)
+    x4 = rng.standard_normal((2, 4, 3, 3)).astype(np.float32)
+    assert_close(nops.prelu(x4, slope), jops.prelu(x4, slope))
+    np.testing.assert_array_equal(
+        np.asarray(nops.argmax(a, axis=1)), np.asarray(jops.argmax(a, axis=1)))
+    np.testing.assert_array_equal(
+        np.asarray(nops.argmin(a, axis=0, keepdims=0)),
+        np.asarray(jops.argmin(a, axis=0, keepdims=0)))
+    assert_close(nops.reduce_prod(np.abs(a) + 0.5, axes=[1]),
+                 jops.reduce_prod(np.abs(a) + 0.5, axes=[1]), tol=1e-5)
+    assert_close(nops.global_max_pool(x4), jops.global_max_pool(x4))
+    assert_close(nops.mean_variadic(a, b, a), jops.mean_variadic(a, b, a),
+                 tol=1e-6)
+    assert_close(nops.sum_variadic(a, b), jops.sum_variadic(a, b))
+
+
+def test_space_depth_roundtrip(rng):
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    s = nops.space_to_depth(x, 2)
+    assert s.shape == (2, 16, 4, 4)
+    assert_close(s, jops.space_to_depth(x, 2))
+    for mode in ("DCR", "CRD"):
+        d_np = nops.depth_to_space(s, 2, mode)
+        assert_close(d_np, jops.depth_to_space(s, 2, mode))
+    # ONNX SpaceToDepth is inverted by DepthToSpace in DCR mode
+    np.testing.assert_allclose(nops.depth_to_space(s, 2, "DCR"), x)

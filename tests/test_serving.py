@@ -124,3 +124,36 @@ def test_close_fails_pending_futures():
         except RuntimeError:
             resolved += 1
     assert resolved == 8  # every future resolves (result or close error)
+
+
+def test_http_server_roundtrip(net, rng):
+    import io
+    import urllib.request
+    from planer_tpu.runtime.http_server import PlanerHTTPServer
+
+    with ServingEngine(net, buckets=(1, 2, 4), max_delay_ms=5) as eng:
+        with PlanerHTTPServer(eng, port=0) as srv:
+            url = f"http://127.0.0.1:{srv.port}"
+            x = rng.standard_normal((3, 32, 32)).astype(np.float32)
+            buf = io.BytesIO()
+            np.save(buf, x)
+            req = urllib.request.Request(f"{url}/predict", data=buf.getvalue(),
+                                         method="POST")
+            out = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+            ref = np.asarray(net.forward(x[None]))[0]
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+            # stats surface
+            import json
+            st = json.loads(urllib.request.urlopen(f"{url}/stats").read())
+            assert st["requests"] == 1
+            # health surface
+            h = json.loads(urllib.request.urlopen(f"{url}/health").read())
+            assert h["healthy"]
+            # bad payload -> 400
+            req = urllib.request.Request(f"{url}/predict", data=b"garbage",
+                                         method="POST")
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
