@@ -40,6 +40,10 @@ _DIMNUMS = ("NCHW", "OIHW", "NCHW")
 # occupancy — numerically exact.
 _STACK_CONV = True
 
+# opt-in: route quantized 1x1 convs to the Pallas GEMM (off: XLA conv wins
+# through fusion — see experiments/RESULTS.md ResNet-50 A/B)
+_PALLAS_CONV1X1 = False
+
 
 def _stacked_conv3x3(x, K, B, prec):
     n, C, H, W = x.shape
@@ -61,9 +65,13 @@ def _stacked_conv3x3(x, K, B, prec):
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
            pads=(0, 0, 0, 0)):
     if isinstance(K, QTensor):
-        # 1x1 stride-1 ungrouped conv IS a GEMM over (N*H*W, C): route to the
-        # Pallas fused int8 dequant+GEMM kernel (weights stream as int8)
-        if (K.q.ndim == 4 and K.q.shape[2] == K.q.shape[3] == 1
+        # 1x1 stride-1 ungrouped conv IS a GEMM over (N*H*W, C) and CAN
+        # route to the Pallas dequant+GEMM kernel — but measured on ResNet-50
+        # (experiments/resnet50_bench.py) XLA's fused conv is 13% faster
+        # (the pallas call breaks producer/consumer fusion and adds NHWC
+        # flatten transposes), so the routing is opt-in
+        if (_PALLAS_CONV1X1 and K.q.ndim == 4
+                and K.q.shape[2] == K.q.shape[3] == 1
                 and int(group) == 1
                 and tuple(int(s) for s in (strides or (1, 1))) == (1, 1)
                 and all(int(p) == 0 for p in (pads or (0, 0, 0, 0)))):

@@ -69,9 +69,11 @@ def test_matmul_q_interpret(rng):
                                atol=2e-2 * np.abs(ref).max())
 
 
-def test_quantized_1x1_conv_routes_to_gemm(rng):
-    """1x1 stride-1 conv with QTensor weights == dense over channels."""
+def test_quantized_1x1_conv_routes_to_gemm(rng, monkeypatch):
+    """1x1 stride-1 conv with QTensor weights == dense over channels
+    (opt-in routing; default path measured faster through XLA fusion)."""
     from planer_tpu.ops import jax_ops as jops
+    monkeypatch.setattr(jops, "_PALLAS_CONV1X1", True)
     x = rng.standard_normal((2, 128, 4, 4)).astype(np.float32)
     w = (rng.standard_normal((256, 128, 1, 1)) * 0.4).astype(np.float32)
     absmax = np.abs(w).max(axis=(1, 2, 3), keepdims=True)
