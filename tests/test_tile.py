@@ -73,3 +73,24 @@ def test_filters_preserve_mean(rng):
         out = f(img)
         assert out.shape == img.shape
         assert abs(out.mean() - img.mean()) < 0.1
+
+
+def test_unet_tiled_vs_whole(rng):
+    """SURVEY §4.6: tiled UNet inference approximates whole-image inference;
+    with margin >= the receptive-field radius the interior matches tightly
+    and the blended overlap error stays small."""
+    import jax
+    from planer_tpu import models
+    net = models.unet(in_ch=1, out_ch=1, base=8, depth=2)
+    img = rng.standard_normal((96, 128)).astype(np.float32)
+
+    def run(win2d):
+        return np.asarray(net(win2d[None, None].astype(np.float32)))[0, 0]
+
+    whole = run(img)
+    tiled = tile(window=64, margin=24, glob=4)(run)(img)
+    assert tiled.shape == whole.shape
+    # interior pixels (away from window seams' receptive-field truncation)
+    err = np.abs(tiled - whole)
+    assert np.median(err) < 5e-3, float(np.median(err))
+    assert err.mean() < 2e-2, float(err.mean())
