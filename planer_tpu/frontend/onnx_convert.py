@@ -124,6 +124,8 @@ _LOWER = {
     "Concat": lambda a: ("concat", _take(a, "axis")),
     "Pad": lambda a: ("pad", _take(a, "mode", constant_value="constant_value")),
     "LSTM": lambda a: ("lstm", _take(a, "hidden_size", "direction")),
+    "GRU": lambda a: ("gru", _take(a, "hidden_size", "direction",
+                                   "linear_before_reset")),
     "Shape": _simple("shape"),
     "Gather": lambda a: ("gather", _take(a, "axis")),
     "Reshape": _simple("reshape"),

@@ -692,3 +692,53 @@ def sum_variadic(*xs):
     for x in xs[1:]:
         out = out + x
     return out
+
+
+def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
+        hidden_size=None, direction="forward", linear_before_reset=0):
+    """ONNX GRU via lax.scan (zrh gate order); input projections hoisted to
+    one MXU matmul over the whole sequence."""
+    dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
+    L, N, D = X.shape
+    H = R.shape[-1]
+
+    def run_dir(di, d):
+        w, r = W[di], R[di]
+        wb = B[di][:3 * H] if B is not None else jnp.zeros(3 * H, X.dtype)
+        rb = B[di][3 * H:] if B is not None else jnp.zeros(3 * H, X.dtype)
+        h0 = initial_h[di] if initial_h is not None else jnp.zeros((N, H), X.dtype)
+        xw = (jnp.einsum("lnd,gd->lng", X, w,
+                         preferred_element_type=jnp.float32).astype(X.dtype)
+              + wb)
+        xs = xw if d == 1 else xw[::-1]
+        rz, rr, rh = jnp.split(r, 3)
+        rbz, rbr, rbh = jnp.split(rb, 3)
+
+        def cell(ht, xt):
+            xz, xr, xh = jnp.split(xt, 3, axis=-1)
+            z = jax.nn.sigmoid(xz + jnp.matmul(
+                ht, rz.T, preferred_element_type=jnp.float32
+            ).astype(X.dtype) + rbz)
+            rg = jax.nn.sigmoid(xr + jnp.matmul(
+                ht, rr.T, preferred_element_type=jnp.float32
+            ).astype(X.dtype) + rbr)
+            if linear_before_reset:
+                h = jnp.tanh(xh + rg * (jnp.matmul(
+                    ht, rh.T, preferred_element_type=jnp.float32
+                ).astype(X.dtype) + rbh))
+            else:
+                h = jnp.tanh(xh + jnp.matmul(
+                    rg * ht, rh.T, preferred_element_type=jnp.float32
+                ).astype(X.dtype) + rbh)
+            ht = (1 - z) * h + z * ht
+            return ht, ht
+
+        hT, ys = lax.scan(cell, h0, xs)
+        if d == -1:
+            ys = ys[::-1]
+        return ys, hT
+
+    outs = [run_dir(di, d) for di, d in enumerate(dirs)]
+    Y = jnp.stack([o[0] for o in outs], axis=1)
+    Yh = jnp.stack([o[1] for o in outs], axis=0)
+    return Y, Yh

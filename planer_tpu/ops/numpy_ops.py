@@ -630,3 +630,40 @@ def sum_variadic(*xs):
     for x in xs[1:]:
         out = out + x
     return out
+
+
+def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
+        hidden_size=None, direction="forward", linear_before_reset=0):
+    """ONNX GRU (zrh gate order).  X: (L, N, D); W: (dirs, 3H, D);
+    R: (dirs, 3H, H); B: (dirs, 6H).  Returns (Y, Y_h)."""
+    dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
+    L, N, D = X.shape
+    H = R.shape[-1]
+    nd = len(dirs)
+    Y = np.zeros((L, nd, N, H), dtype=X.dtype)
+    Yh = np.zeros((nd, N, H), dtype=X.dtype)
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    for di, d in enumerate(dirs):
+        w, r = W[di], R[di]
+        wb = B[di][:3 * H] if B is not None else np.zeros(3 * H, X.dtype)
+        rb = B[di][3 * H:] if B is not None else np.zeros(3 * H, X.dtype)
+        ht = initial_h[di] if initial_h is not None else np.zeros((N, H), X.dtype)
+        steps = range(L) if d == 1 else range(L - 1, -1, -1)
+        wz, wr_, wh = np.split(w, 3)
+        rz, rr, rh = np.split(r, 3)
+        wbz, wbr, wbh = np.split(wb, 3)
+        rbz, rbr, rbh = np.split(rb, 3)
+        for t in steps:
+            z = sigmoid(X[t] @ wz.T + ht @ rz.T + wbz + rbz)
+            rg = sigmoid(X[t] @ wr_.T + ht @ rr.T + wbr + rbr)
+            if linear_before_reset:
+                h = np.tanh(X[t] @ wh.T + wbh + rg * (ht @ rh.T + rbh))
+            else:
+                h = np.tanh(X[t] @ wh.T + wbh + (rg * ht) @ rh.T + rbh)
+            ht = (1 - z) * h + z * ht
+            Y[t, di] = ht
+        Yh[di] = ht
+    return Y, Yh

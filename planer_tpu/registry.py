@@ -56,6 +56,7 @@ _reg("maxpool", nops.maxpool, jops.maxpool)
 _reg("averagepool", nops.averagepool, jops.averagepool)
 _reg("gap", nops.global_average_pool, jops.global_average_pool)
 _reg("lstm", nops.lstm, jops.lstm, multi_output=True)
+_reg("gru", nops.gru, jops.gru, multi_output=True)
 
 # activations / elementwise
 _reg("relu", nops.relu, jops.relu)

@@ -318,3 +318,39 @@ def test_space_depth_roundtrip(rng):
         assert_close(d_np, jops.depth_to_space(s, 2, mode))
     # ONNX SpaceToDepth is inverted by DepthToSpace in DCR mode
     np.testing.assert_allclose(nops.depth_to_space(s, 2, "DCR"), x)
+
+
+@pytest.mark.parametrize("direction", ["forward", "reverse", "bidirectional"])
+@pytest.mark.parametrize("lbr", [0, 1])
+def test_gru(rng, direction, lbr):
+    L, N, D, H = 5, 2, 8, 6
+    nd = 2 if direction == "bidirectional" else 1
+    X = rng.standard_normal((L, N, D)).astype(np.float32)
+    W = rng.standard_normal((nd, 3 * H, D)).astype(np.float32) * 0.3
+    R = rng.standard_normal((nd, 3 * H, H)).astype(np.float32) * 0.3
+    B = rng.standard_normal((nd, 6 * H)).astype(np.float32) * 0.1
+    n_out = nops.gru(X, W, R, B, direction=direction, linear_before_reset=lbr)
+    j_out = jops.gru(X, W, R, B, direction=direction, linear_before_reset=lbr)
+    for a, b in zip(n_out, j_out):
+        assert_close(a, b, tol=1e-4)
+
+
+def test_gru_vs_torch(rng):
+    """Cross-check the zrh-order GRU against torch.nn.GRU."""
+    torch = pytest.importorskip("torch")
+    L, N, D, H = 4, 3, 5, 7
+    m = torch.nn.GRU(D, H, batch_first=False).eval()
+    X = rng.standard_normal((L, N, D)).astype(np.float32)
+    with torch.no_grad():
+        ref, href = m(torch.from_numpy(X))
+    # torch weight layout: w_ih (3H, D) in rzn order; ONNX wants zrh
+    def rzn_to_zrh(w):
+        r, z, n = np.split(w, 3)
+        return np.concatenate([z, r, n])
+    W = rzn_to_zrh(m.weight_ih_l0.detach().numpy())[None]
+    R = rzn_to_zrh(m.weight_hh_l0.detach().numpy())[None]
+    B = np.concatenate([rzn_to_zrh(m.bias_ih_l0.detach().numpy()),
+                        rzn_to_zrh(m.bias_hh_l0.detach().numpy())])[None]
+    Y, Yh = nops.gru(X, W, R, B, linear_before_reset=1)
+    np.testing.assert_allclose(Y[:, 0], ref.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(Yh, href.numpy(), rtol=1e-4, atol=1e-4)
