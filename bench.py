@@ -56,8 +56,9 @@ def main():
 
     net = models.resnet18()
     net.optimize()                   # fold BN affines into conv weights
-    net.quantize("int8")
-    net.astype_compute("bfloat16")   # bf16 activations, int8 weights
+    # int8 weights everywhere; W8A8 (s8 MXU path) on C>=128 layers
+    net.quantize("int8", activations="dynamic")
+    net.astype_compute("bfloat16")
     prog = net.program
     fn_, _ = prog._build_fn({}, [])
     params = prog.params

@@ -62,9 +62,37 @@ def _stacked_conv3x3(x, K, B, prec):
     return out
 
 
+def _conv_w8a8(x, K, B, strides, dilations, pads):
+    """Dynamic per-tensor activation quant + s8 x s8 -> s32 conv + dequant."""
+    strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
+    dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
+    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
+    pt, pl, pb, pr = pads
+    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6).astype(jnp.float32) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                 ).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        q, K.q, window_strides=strides, padding=((pt, pb), (pl, pr)),
+        rhs_dilation=dilations, dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.int32)
+    w_scale = K.scale.reshape(1, -1, 1, 1)
+    out = (acc.astype(jnp.float32) * (sx * w_scale)).astype(x.dtype)
+    if B is not None:
+        out = out + B.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
            pads=(0, 0, 0, 0)):
     if isinstance(K, QTensor):
+        # W8A8: on layers with C_in >= 128 the s8 x s8 -> s32 MXU path is
+        # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
+        # activations quantize per-tensor dynamically. C=64 layers measured
+        # SLOWER (lane-bound + quant overhead) and keep bf16 + stacking.
+        if (K.act_dynamic and K.q.dtype == jnp.int8 and x.ndim == 4
+                and x.shape[1] >= 128 and int(group) == 1
+                and jnp.issubdtype(x.dtype, jnp.floating)):
+            return _conv_w8a8(x, K, B, strides, dilations, pads)
         # 1x1 stride-1 ungrouped conv IS a GEMM over (N*H*W, C) and CAN
         # route to the Pallas dequant+GEMM kernel — but measured on ResNet-50
         # (experiments/resnet50_bench.py) XLA's fused conv is 13% faster

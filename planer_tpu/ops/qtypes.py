@@ -18,10 +18,15 @@ class QTensor:
     float32 already reshaped for broadcast (per-output-channel).  Weights
     stream HBM->VMEM at quantized width; dequantization happens on-chip —
     either fused by XLA or inside the Pallas dequant+GEMM kernel.
+
+    ``act_dynamic`` (static aux): the consuming op may quantize its
+    activations per-tensor on the fly and run the s8 x s8 -> s32 MXU path
+    (2x bf16 peak) where the shape profits.
     """
 
     q: object
     scale: object
+    act_dynamic: bool = False
 
     def dequant(self, dtype=jnp.float32):
         return (self.q.astype(jnp.float32) * self.scale).astype(dtype)
@@ -39,8 +44,8 @@ class QTensor:
         return self.q.dtype
 
     def tree_flatten(self):
-        return (self.q, self.scale), None
+        return (self.q, self.scale), self.act_dynamic
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, act_dynamic=aux)

@@ -97,7 +97,8 @@ def param_shardings(graph: Graph, params: dict, mesh: Mesh,
                 if (qs.spec[ax] is not None
                         and leaf.scale.shape[ax] == leaf.q.shape[ax]):
                     sspec[ax] = qs.spec[ax]
-            out[name] = QTensor(qs, NamedSharding(mesh, P(*sspec)))
+            out[name] = QTensor(qs, NamedSharding(mesh, P(*sspec)),
+                                act_dynamic=leaf.act_dynamic)
         else:
             out[name] = leaf_sharding(name, leaf)
     return out
@@ -127,7 +128,8 @@ def shard_program(net, mesh: Mesh, tp_axis: str = "model",
     def put(leaf, sh):
         if isinstance(leaf, QTensor):
             return QTensor(jax.device_put(leaf.q, sh.q),
-                           jax.device_put(leaf.scale, sh.scale))
+                           jax.device_put(leaf.scale, sh.scale),
+                           act_dynamic=leaf.act_dynamic)
         return jax.device_put(leaf, sh)
 
     prog.params = {n: put(l, pshard[n]) for n, l in prog.params.items()}

@@ -39,8 +39,13 @@ _MODES = {
 }
 
 
-def quantize_net(net, mode: str = "int8", skip: tuple = ()):
-    """In-place weight-only quantization of a Net's GEMM-shaped weights."""
+def quantize_net(net, mode: str = "int8", skip: tuple = (),
+                 activations: str | None = None):
+    """In-place weight quantization of a Net's GEMM-shaped weights.
+
+    ``activations="dynamic"`` additionally enables per-tensor dynamic
+    activation quantization at run time on the layers where the
+    s8 x s8 -> s32 MXU path profits (C_in >= 128)."""
     qdtype, qmax = _MODES[mode]
     graph: Graph = net.graph
     users = graph.weight_users()
@@ -78,6 +83,8 @@ def quantize_net(net, mode: str = "int8", skip: tuple = ()):
 
     graph.inits = new_inits
     graph.quant = quant
+    if activations:
+        graph.meta["act_quant"] = activations
     return net
 
 
@@ -101,6 +108,8 @@ def make_quant_program(graph: Graph, weights: list[np.ndarray],
     idx = graph.init_index()
     deq = dequant_weights(graph, weights)
 
+    act_dyn = graph.meta.get("act_quant") == "dynamic"
+
     def param_transform(params: dict) -> dict:
         out = {}
         for name, leaf in params.items():
@@ -109,7 +118,8 @@ def make_quant_program(graph: Graph, weights: list[np.ndarray],
                 out[name] = leaf
             else:
                 out[name] = QTensor(weights[idx[name]],
-                                    weights[idx[info["scale"]]])
+                                    weights[idx[info["scale"]]],
+                                    act_dynamic=act_dyn)
         return out
 
     def materialize(name, leaf, op):

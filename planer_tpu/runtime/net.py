@@ -72,10 +72,13 @@ class Net:
         from ..optimize import optimize as _opt
         return _opt(self)
 
-    def quantize(self, mode: str = "int8", skip: tuple = ()):
-        """Weight-only quantization with per-output-channel scales."""
+    def quantize(self, mode: str = "int8", skip: tuple = (),
+                 activations: str | None = None):
+        """Weight quantization with per-output-channel scales.
+        ``activations='dynamic'`` also runs W8A8 convs on profitable layers
+        (s8 MXU path, 2x bf16 peak)."""
         from ..quant import quantize_net
-        quantize_net(self, mode=mode, skip=skip)
+        quantize_net(self, mode=mode, skip=skip, activations=activations)
         self._invalidate()
         return self
 

@@ -209,3 +209,34 @@ def test_wrong_input_count_raises(rng):
     with pytest.raises(TypeError, match="expects 1 input"):
         net.forward(np.zeros((1, 3, 8, 8), np.float32),
                     np.zeros((1, 3, 8, 8), np.float32))
+
+
+def test_w8a8_dynamic_activation_quant(rng):
+    """W8A8 path (C>=128 layers) stays within dynamic-quant tolerance."""
+    b = GraphBuilder(["x"])
+    K1 = b.weight("c1.w", (rng.standard_normal((128, 128, 3, 3)) * 0.1
+                           ).astype(np.float32))
+    B1 = b.weight("c1.b", rng.standard_normal(128).astype(np.float32))
+    y = b.conv("x", K1, B1, strides=[1, 1], pads=[1, 1, 1, 1],
+               dilations=[1, 1], group=1)
+    y = b.relu(y)
+    b.ret(y)
+    net = Net(*b.build())
+    x = rng.standard_normal((2, 128, 8, 8)).astype(np.float32)
+    ref = np.asarray(net.forward(x))
+    net.quantize("int8", activations="dynamic")
+    assert net.graph.meta.get("act_quant") == "dynamic"
+    out = np.asarray(net.forward(x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, f"w8a8 rel err {rel}"
+
+
+def test_w8a8_resnet_agreement(rng):
+    from planer_tpu import models
+    from planer_tpu.models import eval as ev
+    fp = models.resnet18(num_classes=32)
+    q = models.resnet18(num_classes=32)
+    q.optimize()
+    q.quantize("int8", activations="dynamic")
+    agree = ev.top1_agreement(fp, q, n=24, shape=(3, 64, 64))
+    assert agree >= 0.9, f"w8a8 top-1 agreement {agree}"
