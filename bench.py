@@ -56,8 +56,15 @@ def main():
 
     net = models.resnet18()
     net.optimize()                   # fold BN affines into conv weights
-    # int8 weights everywhere; W8A8 (s8 MXU path) on C>=128 layers
-    net.quantize("int8", activations="dynamic")
+    # int8 weights everywhere; W8A8 (s8 MXU path) on C>=128 layers with
+    # CALIBRATED static activation scales (no runtime absmax reductions)
+    from planer_tpu.quant import calibrate_act_scales
+    from planer_tpu.models import eval as ev
+    t0 = time.perf_counter()
+    calibrate_act_scales(net, ev.synthetic_images(4, (3, 224, 224), seed=11,
+                                                  batch=2))
+    log(f"calibration: {time.perf_counter()-t0:.1f}s")
+    net.quantize("int8", activations="static")
     net.astype_compute("bfloat16")
     prog = net.program
     fn_, _ = prog._build_fn({}, [])

@@ -63,12 +63,17 @@ def _stacked_conv3x3(x, K, B, prec):
 
 
 def _conv_w8a8(x, K, B, strides, dilations, pads):
-    """Dynamic per-tensor activation quant + s8 x s8 -> s32 conv + dequant."""
+    """Per-tensor activation quant + s8 x s8 -> s32 conv + dequant.  The
+    scale is a baked calibration constant when available (no reduction pass),
+    else computed dynamically per call."""
     strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
     dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
     pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
     pt, pl, pb, pr = pads
-    sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6).astype(jnp.float32) / 127.0
+    if K.act_scale is not None:
+        sx = jnp.float32(K.act_scale)
+    else:
+        sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6).astype(jnp.float32) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
                  ).astype(jnp.int8)
     acc = lax.conv_general_dilated(
@@ -89,7 +94,8 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
         # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
         # activations quantize per-tensor dynamically. C=64 layers measured
         # SLOWER (lane-bound + quant overhead) and keep bf16 + stacking.
-        if (K.act_dynamic and K.q.dtype == jnp.int8 and x.ndim == 4
+        if ((K.act_dynamic or K.act_scale is not None)
+                and K.q.dtype == jnp.int8 and x.ndim == 4
                 and x.shape[1] >= 128 and int(group) == 1
                 and jnp.issubdtype(x.dtype, jnp.floating)):
             return _conv_w8a8(x, K, B, strides, dilations, pads)

@@ -27,6 +27,7 @@ class QTensor:
     q: object
     scale: object
     act_dynamic: bool = False
+    act_scale: float | None = None   # calibrated static per-tensor act scale
 
     def dequant(self, dtype=jnp.float32):
         return (self.q.astype(jnp.float32) * self.scale).astype(dtype)
@@ -44,8 +45,8 @@ class QTensor:
         return self.q.dtype
 
     def tree_flatten(self):
-        return (self.q, self.scale), self.act_dynamic
+        return (self.q, self.scale), (self.act_dynamic, self.act_scale)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, act_dynamic=aux)
+        return cls(*children, act_dynamic=aux[0], act_scale=aux[1])

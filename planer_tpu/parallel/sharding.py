@@ -98,7 +98,8 @@ def param_shardings(graph: Graph, params: dict, mesh: Mesh,
                         and leaf.scale.shape[ax] == leaf.q.shape[ax]):
                     sspec[ax] = qs.spec[ax]
             out[name] = QTensor(qs, NamedSharding(mesh, P(*sspec)),
-                                act_dynamic=leaf.act_dynamic)
+                                act_dynamic=leaf.act_dynamic,
+                                act_scale=leaf.act_scale)
         else:
             out[name] = leaf_sharding(name, leaf)
     return out
@@ -129,7 +130,8 @@ def shard_program(net, mesh: Mesh, tp_axis: str = "model",
         if isinstance(leaf, QTensor):
             return QTensor(jax.device_put(leaf.q, sh.q),
                            jax.device_put(leaf.scale, sh.scale),
-                           act_dynamic=leaf.act_dynamic)
+                           act_dynamic=leaf.act_dynamic,
+                           act_scale=leaf.act_scale)
         return jax.device_put(leaf, sh)
 
     prog.params = {n: put(l, pshard[n]) for n, l in prog.params.items()}

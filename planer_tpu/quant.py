@@ -22,7 +22,8 @@ from .ir import Graph
 from .ops.qtypes import QTensor
 from .runtime.tracer import TracedProgram
 
-__all__ = ["quantize_net", "dequant_weights", "make_quant_program", "QTensor"]
+__all__ = ["quantize_net", "dequant_weights", "make_quant_program",
+           "calibrate_act_scales", "QTensor"]
 
 # ops with a quantizable weight at positional input 1, and the output-channel
 # axis of that weight
@@ -39,13 +40,50 @@ _MODES = {
 }
 
 
+def calibrate_act_scales(net, batches, percentile: float = 99.9) -> dict:
+    """Run calibration batches through the numpy oracle, recording the
+    per-tensor activation scale of every conv's input (SURVEY §2 #28:
+    converter-side calibration).  Returns {weight_name: scale} and stores it
+    in graph.meta["act_scales"]."""
+    graph: Graph = net.graph
+    layers = graph.layer_map()
+    # conv layer name -> weight init name
+    wname_by_layer: dict[str, str] = {}
+    inits = set(graph.init_names())
+    for e in graph.flow:
+        for li, lname in enumerate(e.layers):
+            if layers[lname].op == "conv":
+                src = e.src if li == 0 else e.dst
+                if len(src) > 1 and src[1] in inits:
+                    wname_by_layer[lname] = src[1]
+    maxima: dict[str, float] = {}
+
+    def cb(i, lname, layer, args, out):
+        if layer.op == "conv" and lname in wname_by_layer:
+            x = np.abs(np.asarray(args[0], dtype=np.float32)).ravel()
+            m = float(np.percentile(x, percentile)) if percentile < 100 \
+                else float(x.max())
+            w = wname_by_layer[lname]
+            maxima[w] = max(maxima.get(w, 0.0), m)
+
+    oracle = net.oracle
+    for x in batches:
+        oracle.run(*(x if isinstance(x, tuple) else (x,)), trace_cb=cb)
+    scales = {w: max(m, 1e-6) / 127.0 for w, m in maxima.items()}
+    graph.meta["act_scales"] = scales
+    net._invalidate()
+    return scales
+
+
 def quantize_net(net, mode: str = "int8", skip: tuple = (),
                  activations: str | None = None):
     """In-place weight quantization of a Net's GEMM-shaped weights.
 
-    ``activations="dynamic"`` additionally enables per-tensor dynamic
-    activation quantization at run time on the layers where the
-    s8 x s8 -> s32 MXU path profits (C_in >= 128)."""
+    ``activations="dynamic"`` enables per-tensor dynamic activation
+    quantization at run time on the layers where the s8 x s8 -> s32 MXU
+    path profits (C_in >= 128); ``activations="static"`` uses the scales
+    from a prior :func:`calibrate_act_scales` run (baked constants, no
+    runtime reduction), falling back to dynamic where uncalibrated."""
     qdtype, qmax = _MODES[mode]
     graph: Graph = net.graph
     users = graph.weight_users()
@@ -108,7 +146,8 @@ def make_quant_program(graph: Graph, weights: list[np.ndarray],
     idx = graph.init_index()
     deq = dequant_weights(graph, weights)
 
-    act_dyn = graph.meta.get("act_quant") == "dynamic"
+    act_mode = graph.meta.get("act_quant")
+    act_scales = graph.meta.get("act_scales", {})
 
     def param_transform(params: dict) -> dict:
         out = {}
@@ -117,9 +156,12 @@ def make_quant_program(graph: Graph, weights: list[np.ndarray],
             if info is None:
                 out[name] = leaf
             else:
+                a_scale = act_scales.get(name) if act_mode == "static" else None
                 out[name] = QTensor(weights[idx[name]],
                                     weights[idx[info["scale"]]],
-                                    act_dynamic=act_dyn)
+                                    act_dynamic=act_mode in ("dynamic",
+                                                             "static"),
+                                    act_scale=a_scale)
         return out
 
     def materialize(name, leaf, op):

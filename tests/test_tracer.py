@@ -240,3 +240,18 @@ def test_w8a8_resnet_agreement(rng):
     q.quantize("int8", activations="dynamic")
     agree = ev.top1_agreement(fp, q, n=24, shape=(3, 64, 64))
     assert agree >= 0.9, f"w8a8 top-1 agreement {agree}"
+
+
+def test_calibrated_static_activation_scales(rng):
+    from planer_tpu import models
+    from planer_tpu.quant import calibrate_act_scales
+    from planer_tpu.models import eval as ev
+    net = models.resnet18(num_classes=16)
+    fp = models.resnet18(num_classes=16)
+    net.optimize()
+    cal = [x for x in ev.synthetic_images(8, (3, 64, 64), seed=5)]
+    scales = calibrate_act_scales(net, cal)
+    assert len(scales) >= 15  # most convs calibrated
+    net.quantize("int8", activations="static")
+    agree = ev.top1_agreement(fp, net, n=24, shape=(3, 64, 64), seed=9)
+    assert agree >= 0.9, f"static-W8A8 top-1 agreement {agree}"
