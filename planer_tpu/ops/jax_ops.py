@@ -97,6 +97,9 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
         if ((K.act_dynamic or K.act_scale is not None)
                 and K.q.dtype == jnp.int8 and x.ndim == 4
                 and x.shape[1] >= 128 and int(group) == 1
+                # quant/dequant overhead needs GEMM volume to amortize:
+                # keep small-batch latency configs on the bf16 path
+                and x.shape[0] * x.shape[2] * x.shape[3] >= 4096
                 and jnp.issubdtype(x.dtype, jnp.floating)):
             return _conv_w8a8(x, K, B, strides, dilations, pads)
         # 1x1 stride-1 ungrouped conv IS a GEMM over (N*H*W, C) and CAN

@@ -222,7 +222,8 @@ def test_w8a8_dynamic_activation_quant(rng):
     y = b.relu(y)
     b.ret(y)
     net = Net(*b.build())
-    x = rng.standard_normal((2, 128, 8, 8)).astype(np.float32)
+    # batch*H*W must cross the W8A8 amortization gate (>= 4096)
+    x = rng.standard_normal((16, 128, 16, 16)).astype(np.float32)
     ref = np.asarray(net.forward(x))
     net.quantize("int8", activations="dynamic")
     assert net.graph.meta.get("act_quant") == "dynamic"
