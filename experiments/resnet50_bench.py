@@ -50,13 +50,13 @@ def bench(net, batch, n1=10, n2=110):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    for use_pallas in (True, False):
+    for use_pallas in (False,):
         if not use_pallas:
             gemm._tile_plan_orig = gemm._tile_plan
             gemm._tile_plan = lambda *a: None   # force XLA path for 1x1/dense
         net = models.resnet50()
         net.optimize()
-        net.quantize("int8")
+        net.quantize("int8", activations="dynamic")
         net.astype_compute("bfloat16")
         dt = bench(net, batch)
         tag = "pallas 1x1" if use_pallas else "xla only  "

@@ -165,6 +165,30 @@ class _Lowerer:
             sf = sf if isinstance(sf, (tuple, list)) else (sf, sf)
             return self._emit_upsample(x, sf, mod.mode,
                                        getattr(mod, "align_corners", None))
+        if isinstance(mod, nn.GELU):
+            approx = getattr(mod, "approximate", "none")
+            return self.emit("gelu", [x], approximate=approx)
+        if isinstance(mod, nn.SiLU):   # x * sigmoid(x), composed
+            s_ = self.emit("sigmoid", [x])
+            return self.emit("mul", [x, s_])
+        if isinstance(mod, nn.ELU):
+            return self.emit("elu", [x], alpha=mod.alpha)
+        if isinstance(mod, nn.PReLU):
+            sl = self.add_weight(f"{name}.slope", _np(mod.weight))
+            return self.emit("prelu", [x, sl])
+        if isinstance(mod, nn.ReLU6):
+            return self.emit("clip", [x], min=0.0, max=6.0)
+        if isinstance(mod, nn.Hardswish):  # x * clip(x+3, 0, 6) / 6
+            three = self.add_weight(self.fresh("c3"),
+                                    np.float32(3.0).reshape(()))
+            sixth = self.add_weight(self.fresh("c6i"),
+                                    np.float32(1 / 6).reshape(()))
+            t = self.emit("add", [x, three])
+            t = self.emit("clip", [t], min=0.0, max=6.0)
+            t = self.emit("mul", [x, t])
+            return self.emit("mul", [t, sixth])
+        if isinstance(mod, nn.Softplus):
+            return self.emit("softplus", [x])
         if isinstance(mod, (nn.Dropout, nn.Identity)):
             return self.emit("identity", [x])
         if isinstance(mod, nn.Flatten):
@@ -251,6 +275,25 @@ class _Lowerer:
                              pads=[p[0], p[1], p[0], p[1]], strides=list(s))
         if fn is F.adaptive_avg_pool2d:
             return self.emit("gap", [src(0)])
+        if fn is F.gelu:
+            approx = node.kwargs.get("approximate", "none")
+            return self.emit("gelu", [src(0)], approximate=approx)
+        if fn is F.silu:
+            s_ = self.emit("sigmoid", [src(0)])
+            return self.emit("mul", [src(0), s_])
+        if fn is F.elu:
+            alpha = node.kwargs.get("alpha", a[1] if len(a) > 1 else 1.0)
+            return self.emit("elu", [src(0)], alpha=alpha)
+        if fn is F.avg_pool2d:
+            k = a[1] if len(a) > 1 else node.kwargs["kernel_size"]
+            k = k if isinstance(k, (tuple, list)) else (k, k)
+            st = node.kwargs.get("stride", a[2] if len(a) > 2 else None) or k
+            st = st if isinstance(st, (tuple, list)) else (st, st)
+            p_ = node.kwargs.get("padding", 0)
+            p_ = p_ if isinstance(p_, (tuple, list)) else (p_, p_)
+            return self.emit("averagepool", [src(0)], w=list(k),
+                             pads=[p_[0], p_[1], p_[0], p_[1]],
+                             strides=list(st))
         if fn is getattr(operator, "getitem", None):
             raise NotImplementedError("tensor slicing in fx not yet lowered")
         raise NotImplementedError(

@@ -140,3 +140,25 @@ def test_interpolate_functional_bilinear(rng):
 
     x = rng.standard_normal((1, 2, 5, 5)).astype(np.float32)
     _run_both(M(), x, tol=1e-5)
+
+
+def test_modern_activations(rng):
+    model = nn.Sequential(nn.Conv2d(3, 8, 1), nn.GELU(), nn.Conv2d(8, 8, 1),
+                          nn.SiLU(), nn.Conv2d(8, 8, 1), nn.ReLU6(),
+                          nn.Hardswish(), nn.Softplus())
+    x = rng.standard_normal((1, 3, 6, 6)).astype(np.float32)
+    _run_both(model, x, tol=1e-4)
+
+
+def test_prelu_and_functional_silu(rng):
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(2, 4, 1)
+            self.p = nn.PReLU(4)
+
+        def forward(self, x):
+            return F.silu(self.p(self.c(x)))
+
+    x = rng.standard_normal((2, 2, 5, 5)).astype(np.float32)
+    _run_both(M(), x, tol=1e-4)
