@@ -145,10 +145,6 @@ def main():
     print(f"stem s2d  : {t_s2d*1e3:.3f} ms  ({t_stem/t_s2d:.2f}x, excl. s2d reshape)")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def stem_combo():
     """Stem as s2d + output-row stacking: 7x7/2 3ch -> 5x4 s(2,1) 12ch->128."""
     rng = np.random.default_rng(0)
@@ -194,5 +190,8 @@ def stem_combo():
     print(f"stem s2d+stacked: {t_combo*1e3:.3f} ms ({t_plain/t_combo:.2f}x, incl. s2d)")
 
 
-if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "stem":
-    stem_combo()
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "stem":
+        stem_combo()
+    else:
+        main()

@@ -60,6 +60,20 @@ def _simple(opcode):
     return lambda a: (opcode, {})
 
 
+def _check_rnn(a: dict, kw: dict) -> dict:
+    """Reject RNN attributes whose silent omission would change numerics."""
+    if "activations" in a:
+        acts = [x.decode() if isinstance(x, bytes) else x
+                for x in a["activations"]]
+        defaults = {"Sigmoid", "Tanh"}
+        if any(str(x) not in defaults for x in acts):
+            raise NotImplementedError(
+                f"RNN with non-default activations {acts} not supported")
+    if a.get("clip"):
+        raise NotImplementedError("RNN cell clipping not supported")
+    return kw
+
+
 def _check_autopad(a: dict, pool: bool = False):
     """Reject attribute values whose silent omission would change semantics
     (the converter's contract: fail loudly, never compute wrong shapes)."""
@@ -123,9 +137,10 @@ _LOWER = {
     "ReduceMin": lambda a: ("reducemin", _take(a, "axes", "keepdims")),
     "Concat": lambda a: ("concat", _take(a, "axis")),
     "Pad": lambda a: ("pad", _take(a, "mode", constant_value="constant_value")),
-    "LSTM": lambda a: ("lstm", _take(a, "hidden_size", "direction")),
-    "GRU": lambda a: ("gru", _take(a, "hidden_size", "direction",
-                                   "linear_before_reset")),
+    "LSTM": lambda a: ("lstm", _check_rnn(a, _take(a, "hidden_size",
+                                                   "direction"))),
+    "GRU": lambda a: ("gru", _check_rnn(a, _take(
+        a, "hidden_size", "direction", "linear_before_reset"))),
     "Shape": _simple("shape"),
     "Gather": lambda a: ("gather", _take(a, "axis")),
     "Reshape": _simple("reshape"),

@@ -197,6 +197,23 @@ class _Lowerer:
             f"torch module {type(mod).__name__} at {node.target!r} "
             f"has no IR lowering")
 
+    @staticmethod
+    def _pool_args(node, a):
+        """kernel/stride/padding of a functional pool call, positional OR
+        keyword (F.avg_pool2d(x, 3, 1, 1) is the common positional style)."""
+        def get(pos, name, default=None):
+            if name in node.kwargs:
+                return node.kwargs[name]
+            return a[pos] if len(a) > pos else default
+
+        k = get(1, "kernel_size")
+        k = k if isinstance(k, (tuple, list)) else (k, k)
+        st = get(2, "stride") or k
+        st = st if isinstance(st, (tuple, list)) else (st, st)
+        p_ = get(3, "padding", 0)
+        p_ = p_ if isinstance(p_, (tuple, list)) else (p_, p_)
+        return k, st, p_
+
     def _emit_upsample(self, x, sf, mode, align_corners):
         """torch nearest == asymmetric+floor (the 'upsample' op); torch
         bilinear uses half-pixel coords (align_corners=False) or
@@ -265,14 +282,16 @@ class _Lowerer:
             return self._emit_upsample(src(0), sf, mode,
                                        node.kwargs.get("align_corners"))
         if fn is F.max_pool2d:
-            k = a[1] if len(a) > 1 else node.kwargs["kernel_size"]
-            k = k if isinstance(k, (tuple, list)) else (k, k)
-            s = node.kwargs.get("stride", a[2] if len(a) > 2 else None) or k
-            s = s if isinstance(s, (tuple, list)) else (s, s)
-            p = node.kwargs.get("padding", 0)
-            p = p if isinstance(p, (tuple, list)) else (p, p)
+            # F.max_pool2d(input, kernel, stride, padding, dilation, ceil)
+            k, st, p_ = self._pool_args(node, a)
+            dil = node.kwargs.get("dilation", a[4] if len(a) > 4 else 1)
+            if (dil if isinstance(dil, int) else max(dil)) != 1:
+                raise NotImplementedError("max_pool2d dilation != 1")
+            if node.kwargs.get("ceil_mode", False) or (len(a) > 5 and a[5]):
+                raise NotImplementedError("max_pool2d ceil_mode=True")
             return self.emit("maxpool", [src(0)], w=list(k),
-                             pads=[p[0], p[1], p[0], p[1]], strides=list(s))
+                             pads=[p_[0], p_[1], p_[0], p_[1]],
+                             strides=list(st))
         if fn is F.adaptive_avg_pool2d:
             return self.emit("gap", [src(0)])
         if fn is F.gelu:
@@ -285,15 +304,16 @@ class _Lowerer:
             alpha = node.kwargs.get("alpha", a[1] if len(a) > 1 else 1.0)
             return self.emit("elu", [src(0)], alpha=alpha)
         if fn is F.avg_pool2d:
-            k = a[1] if len(a) > 1 else node.kwargs["kernel_size"]
-            k = k if isinstance(k, (tuple, list)) else (k, k)
-            st = node.kwargs.get("stride", a[2] if len(a) > 2 else None) or k
-            st = st if isinstance(st, (tuple, list)) else (st, st)
-            p_ = node.kwargs.get("padding", 0)
-            p_ = p_ if isinstance(p_, (tuple, list)) else (p_, p_)
+            # F.avg_pool2d(input, kernel, stride, padding, ceil, count_incl)
+            k, st, p_ = self._pool_args(node, a)
+            if node.kwargs.get("ceil_mode", False) or (len(a) > 4 and a[4]):
+                raise NotImplementedError("avg_pool2d ceil_mode=True")
+            cip = node.kwargs.get("count_include_pad",
+                                  a[5] if len(a) > 5 else True)
             return self.emit("averagepool", [src(0)], w=list(k),
                              pads=[p_[0], p_[1], p_[0], p_[1]],
-                             strides=list(st))
+                             strides=list(st),
+                             count_include_pad=1 if cip else 0)
         if fn is getattr(operator, "getitem", None):
             raise NotImplementedError("tensor slicing in fx not yet lowered")
         raise NotImplementedError(

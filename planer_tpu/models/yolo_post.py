@@ -88,10 +88,12 @@ def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
     """
     size = img.shape[-1]
     heads = net(img)
-    if isinstance(heads, (tuple, list)) and len(heads) == 3:
+    if isinstance(heads, (tuple, list)):
         dec = decode_heads(heads, img_size=size, num_classes=num_classes)
-    else:  # net built with decode=True: already (N, boxes, 5+C)
+    else:  # net built with decode=True: a single (N, boxes, 5+C) tensor
         dec = np.asarray(heads)
+        assert dec.ndim == 3, (
+            f"expected decoded (N, boxes, 5+C) output, got shape {dec.shape}")
     results = []
     from .. import native
     for bi in range(dec.shape[0]):

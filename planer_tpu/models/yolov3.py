@@ -22,8 +22,8 @@ YOLO_ANCHORS = {
 }
 
 
-def _decode_head(b: GraphBuilder, t: str, stride: int, num_classes: int,
-                 rng) -> str:
+def _decode_head(b: GraphBuilder, t: str, stride: int,
+                 num_classes: int) -> str:
     """In-graph box decode for one head: (N, 3*(5+C), H, W) ->
     (N, 3*H*W, 5+C) with [cx, cy, w, h, obj, cls...] in pixels.
 
@@ -181,9 +181,9 @@ def yolov3(num_classes: int = 80, seed: int = 0, decode: bool = False):
     out_s = detect(h3, 128, "det8")             # stride 8
 
     if decode:
-        d32 = _decode_head(b, out_l, 32, num_classes, rng)
-        d16 = _decode_head(b, out_m, 16, num_classes, rng)
-        d8 = _decode_head(b, out_s, 8, num_classes, rng)
+        d32 = _decode_head(b, out_l, 32, num_classes)
+        d16 = _decode_head(b, out_m, 16, num_classes)
+        d8 = _decode_head(b, out_s, 8, num_classes)
         dec = b.concat(d32, d16, d8, axis=1, name="decode.cat")
         b.ret(dec)
     else:

@@ -247,6 +247,9 @@ def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
     The per-timestep GEMMs (X@W^T precomputed for the whole sequence; h@R^T
     in the scan body) hit the MXU; the reference loops timesteps in Python
     (util.py:102-119)."""
+    if sequence_lens is not None:
+        raise NotImplementedError(
+            "LSTM with per-sequence lengths is not supported yet")
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]
@@ -634,12 +637,18 @@ def negative(x):
     return -x
 
 
-def minimum(a, b):
-    return jnp.minimum(a, b)
+def minimum(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = jnp.minimum(out, x)
+    return out
 
 
-def maximum(a, b):
-    return jnp.maximum(a, b)
+def maximum(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = jnp.maximum(out, x)
+    return out
 
 
 def floor(x):
@@ -676,18 +685,23 @@ def gelu(x, approximate="none"):
     return jax.nn.gelu(x, approximate=(approximate == "tanh"))
 
 
-def argmax(x, axis=0, keepdims=1, select_last_index=0):
-    out = jnp.argmax(x, axis=axis).astype(jnp.int64)
+def _arg_reduce(x, axis, keepdims, select_last_index, fn):
+    if select_last_index:
+        n = x.shape[axis]
+        out = (n - 1 - fn(jnp.flip(x, axis=axis), axis=axis)).astype(jnp.int64)
+    else:
+        out = fn(x, axis=axis).astype(jnp.int64)
     if keepdims:
         out = jnp.expand_dims(out, axis)
     return out
+
+
+def argmax(x, axis=0, keepdims=1, select_last_index=0):
+    return _arg_reduce(x, axis, keepdims, select_last_index, jnp.argmax)
 
 
 def argmin(x, axis=0, keepdims=1, select_last_index=0):
-    out = jnp.argmin(x, axis=axis).astype(jnp.int64)
-    if keepdims:
-        out = jnp.expand_dims(out, axis)
-    return out
+    return _arg_reduce(x, axis, keepdims, select_last_index, jnp.argmin)
 
 
 def reduce_prod(x, axes=None, keepdims=1):
@@ -735,6 +749,9 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
         hidden_size=None, direction="forward", linear_before_reset=0):
     """ONNX GRU via lax.scan (zrh gate order); input projections hoisted to
     one MXU matmul over the whole sequence."""
+    if sequence_lens is not None:
+        raise NotImplementedError(
+            "GRU with per-sequence lengths is not supported yet")
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]

@@ -158,6 +158,10 @@ def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
     """ONNX LSTM (iofc gate order).  X: (L, N, D); W: (dirs, 4H, D);
     R: (dirs, 4H, H); B: (dirs, 8H).  Returns (Y, Y_h, Y_c) with
     Y: (L, dirs, N, H)."""
+    if sequence_lens is not None:
+        raise NotImplementedError(
+            "LSTM with per-sequence lengths is not supported yet — pad to a "
+            "common length or split the batch")
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]
@@ -533,12 +537,18 @@ def negative(x):
     return -x
 
 
-def minimum(a, b):
-    return np.minimum(a, b)
+def minimum(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = np.minimum(out, x)
+    return out
 
 
-def maximum(a, b):
-    return np.maximum(a, b)
+def maximum(*xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = np.maximum(out, x)
+    return out
 
 
 def floor(x):
@@ -580,18 +590,23 @@ def gelu(x, approximate="none"):
     return 0.5 * x * (1 + _erf(x / np.sqrt(2.0)).astype(x.dtype))
 
 
-def argmax(x, axis=0, keepdims=1, select_last_index=0):
-    out = np.argmax(x, axis=axis).astype(np.int64)
+def _arg_reduce(x, axis, keepdims, select_last_index, fn):
+    if select_last_index:
+        n = x.shape[axis]
+        out = (n - 1 - fn(np.flip(x, axis=axis), axis=axis)).astype(np.int64)
+    else:
+        out = fn(x, axis=axis).astype(np.int64)
     if keepdims:
         out = np.expand_dims(out, axis)
     return out
+
+
+def argmax(x, axis=0, keepdims=1, select_last_index=0):
+    return _arg_reduce(x, axis, keepdims, select_last_index, np.argmax)
 
 
 def argmin(x, axis=0, keepdims=1, select_last_index=0):
-    out = np.argmin(x, axis=axis).astype(np.int64)
-    if keepdims:
-        out = np.expand_dims(out, axis)
-    return out
+    return _arg_reduce(x, axis, keepdims, select_last_index, np.argmin)
 
 
 def reduce_prod(x, axes=None, keepdims=1):
@@ -636,6 +651,10 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
         hidden_size=None, direction="forward", linear_before_reset=0):
     """ONNX GRU (zrh gate order).  X: (L, N, D); W: (dirs, 3H, D);
     R: (dirs, 3H, H); B: (dirs, 6H).  Returns (Y, Y_h)."""
+    if sequence_lens is not None:
+        raise NotImplementedError(
+            "GRU with per-sequence lengths is not supported yet — pad to a "
+            "common length or split the batch")
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]

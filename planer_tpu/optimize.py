@@ -122,6 +122,12 @@ def fold_bn_into_conv(net) -> int:
         dropped_layers = {graph.flow[i].layers[0] for i in drop_edges}
         graph.flow = keep
         graph.layers = [l for l in graph.layers if l.name not in dropped_layers]
+        # drop inits no longer referenced by any flow edge (dead BN affines)
+        still_used = set(graph.weight_users())
+        keep_iw = [(i, w) for (i, w) in zip(graph.inits, net.weights)
+                   if i[0] in still_used]
+        graph.inits = [i for i, _ in keep_iw]
+        net.weights = [w for _, w in keep_iw]
         graph.validate()
         net._invalidate()
     return folded

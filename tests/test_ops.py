@@ -354,3 +354,31 @@ def test_gru_vs_torch(rng):
     Y, Yh = nops.gru(X, W, R, B, linear_before_reset=1)
     np.testing.assert_allclose(Y[:, 0], ref.numpy(), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(Yh, href.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_variadic_min_max_and_select_last(rng):
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    b = rng.standard_normal((3, 4)).astype(np.float32)
+    c = rng.standard_normal((3, 4)).astype(np.float32)
+    assert_close(nops.minimum(a, b, c), jops.minimum(a, b, c))
+    assert_close(nops.maximum(a, b, c), jops.maximum(a, b, c))
+    assert_close(nops.maximum(a), jops.maximum(a))  # 1-input legal per spec
+    x = np.array([[5.0, 1.0, 5.0]], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(nops.argmax(x, axis=1, keepdims=0, select_last_index=1)),
+        [2])
+    np.testing.assert_array_equal(
+        np.asarray(jops.argmax(x, axis=1, keepdims=0, select_last_index=1)),
+        [2])
+
+
+def test_rnn_sequence_lens_raises(rng):
+    X = rng.standard_normal((3, 2, 4)).astype(np.float32)
+    W = rng.standard_normal((1, 12, 4)).astype(np.float32)
+    R = rng.standard_normal((1, 12, 4)).astype(np.float32)
+    with pytest.raises(NotImplementedError, match="sequence"):
+        nops.gru(X, W, R, None, np.array([2, 3]))
+    Wl = rng.standard_normal((1, 16, 4)).astype(np.float32)
+    Rl = rng.standard_normal((1, 16, 4)).astype(np.float32)
+    with pytest.raises(NotImplementedError, match="sequence"):
+        nops.lstm(X, Wl, Rl, None, np.array([2, 3]))

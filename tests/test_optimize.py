@@ -64,3 +64,15 @@ def test_no_fold_when_conv_output_shared(rng):
     ref = np.asarray(net.forward(x, engine="numpy"))
     assert net.optimize()["fold_bn_into_conv"] == 0
     np.testing.assert_allclose(net.forward(x, engine="numpy"), ref)
+
+
+def test_fold_drops_dead_inits(rng):
+    from planer_tpu import models
+    net = models.resnet18(num_classes=8)
+    n_before = len(net.graph.inits)
+    net.optimize()
+    # 20 folds, each conv was bias-less: K reused as bias, B dropped -> net -20
+    assert len(net.graph.inits) == n_before - 20
+    assert len(net.weights) == len(net.graph.inits)
+    x = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    assert np.isfinite(np.asarray(net.forward(x, engine="numpy"))).all()

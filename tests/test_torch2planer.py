@@ -162,3 +162,29 @@ def test_prelu_and_functional_silu(rng):
 
     x = rng.standard_normal((2, 2, 5, 5)).astype(np.float32)
     _run_both(M(), x, tol=1e-4)
+
+
+def test_functional_avg_pool_positional_padding(rng):
+    """F.avg_pool2d(x, 3, 1, 1) — padding positional, torch default
+    count_include_pad=True; and the count_include_pad=False variant."""
+    class M1(nn.Module):
+        def forward(self, x):
+            return F.avg_pool2d(x, 3, 1, 1)
+
+    class M2(nn.Module):
+        def forward(self, x):
+            return F.avg_pool2d(x, 3, stride=1, padding=1,
+                                count_include_pad=False)
+
+    x = rng.standard_normal((1, 2, 6, 6)).astype(np.float32)
+    _run_both(M1(), x, tol=1e-5)
+    _run_both(M2(), x, tol=1e-5)
+
+
+def test_functional_max_pool_positional(rng):
+    class M(nn.Module):
+        def forward(self, x):
+            return F.max_pool2d(x, 2, 2, 0)
+
+    x = rng.standard_normal((1, 2, 8, 8)).astype(np.float32)
+    _run_both(M(), x, tol=1e-6)
