@@ -74,44 +74,50 @@ def _check_rnn(a: dict, kw: dict) -> dict:
     return kw
 
 
-def _check_autopad(a: dict, pool: bool = False):
-    """Reject attribute values whose silent omission would change semantics
-    (the converter's contract: fail loudly, never compute wrong shapes)."""
+def _autopad_kw(a: dict, pool: bool = False) -> dict:
+    """Lower auto_pad/ceil_mode into IR kwargs (pads resolve from the input
+    shape at trace/apply time — the reference silently ignores both attrs,
+    io.py:92-116, producing wrong-but-running graphs; we compute them)."""
+    kw = {}
     ap = a.get("auto_pad", "NOTSET")
+    if isinstance(ap, bytes):
+        ap = ap.decode()
     if ap == "VALID":
-        return [0, 0, 0, 0]
-    if ap not in ("", "NOTSET"):
-        raise NotImplementedError(
-            f"auto_pad={ap!r} is not supported — re-export with explicit "
-            f"pads (SAME_* auto-padding is input-shape-dependent)")
+        kw["pads"] = [0, 0, 0, 0]
+    elif ap in ("SAME_UPPER", "SAME_LOWER"):
+        kw["auto_pad"] = ap
+    elif ap not in ("", "NOTSET"):
+        raise NotImplementedError(f"unknown auto_pad {ap!r}")
+    else:
+        kw["pads"] = a.get("pads")
     if pool:
         if a.get("ceil_mode", 0):
-            raise NotImplementedError("pool ceil_mode=1 is not supported")
+            kw["ceil_mode"] = 1
         if a.get("storage_order", 0):
             raise NotImplementedError("MaxPool storage_order=1 not supported")
         d = a.get("dilations")
         if d is not None and any(int(v) != 1 for v in d):
             raise NotImplementedError("pool dilations != 1 not supported")
-    return a.get("pads")
+    return kw
 
 
 _LOWER = {
     "Conv": lambda a: ("conv", {
         "group": a.get("group", 1) or 1,
         "strides": a.get("strides"), "dilations": a.get("dilations"),
-        "pads": _check_autopad(a)}),
+        **_autopad_kw(a)}),
     "ConvTranspose": lambda a: ("convtranspose", _take(
         a, "strides", "dilations", "pads", "output_padding", "group")),
     "MatMul": _simple("matmul"),
     "MaxPool": lambda a: ("maxpool", {
-        "w": a.get("kernel_shape"), "pads": _check_autopad(a, pool=True),
-        "strides": a.get("strides")}),
+        "w": a.get("kernel_shape"), "strides": a.get("strides"),
+        **_autopad_kw(a, pool=True)}),
     "AveragePool": lambda a: ("averagepool", {
-        "w": a.get("kernel_shape"), "pads": _check_autopad(a, pool=True),
-        "strides": a.get("strides"),
+        "w": a.get("kernel_shape"), "strides": a.get("strides"),
         # ONNX default EXCLUDES padding from the divisor (the op's own
         # default of 1 exists only for reference wire-parity)
-        "count_include_pad": a.get("count_include_pad", 0)}),
+        "count_include_pad": a.get("count_include_pad", 0),
+        **_autopad_kw(a, pool=True)}),
     "GlobalAveragePool": _simple("gap"),
     "Upsample": lambda a: ("upsample", _take(a, "mode")),
     "Resize": lambda a: ("resize", _take(
@@ -261,15 +267,22 @@ def convert_model(model: op.ModelProto) -> tuple[Graph, np.ndarray]:
                     if dname not in windex:
                         add_init(dname, Wt)
                     ins[1] = dname
-                if beta != 1.0 and len(ins) > 2 and ins[2] in windex:
+                if beta != 1.0 and len(ins) > 2:
+                    if ins[2] not in windex:
+                        raise NotImplementedError(
+                            "Gemm with beta != 1 and a non-initializer bias")
                     Bv = weights[windex[ins[2]]]
                     dname = f"{ins[2]}~gemmb{beta}"
                     if dname not in windex:
                         add_init(dname, (Bv * beta).astype(Bv.dtype))
                     ins[2] = dname
-            elif not transB or alpha != 1.0:
-                raise NotImplementedError(
-                    "Gemm with non-initializer transposed weight")
+            else:
+                if not transB or alpha != 1.0:
+                    raise NotImplementedError(
+                        "Gemm with non-initializer transposed weight")
+                if beta != 1.0 and len(ins) > 2:
+                    raise NotImplementedError(
+                        "Gemm with beta != 1 and a non-initializer weight")
             shp = list(weights[windex[ins[1]]].shape[::-1]) \
                 if ins[1] in windex else None
             layers.append(Layer(nname, "dense", {"shp": shp}))

@@ -24,6 +24,15 @@ from ..ir import Graph, Layer, FlowEdge, pack_weights
 __all__ = ["torch2planer", "fx_to_graph"]
 
 
+class _TraceTimeOnly:
+    """Sentinel for fx values with no tensor identity (x.size(i)): consumed
+    structurally by the view/reshape lowering; emitting it into the IR means
+    a computed dynamic dim leaked somewhere it cannot be represented."""
+
+    def __init__(self, node):
+        self.node = node
+
+
 def _np(t):
     return t.detach().cpu().numpy()
 
@@ -53,6 +62,12 @@ class _Lowerer:
         return name
 
     def emit(self, opcode, srcs, n_out=1, **kwargs):
+        for s in srcs:
+            if isinstance(s, _TraceTimeOnly):
+                raise NotImplementedError(
+                    f"x.size(...) value feeds {opcode!r} — computed dynamic "
+                    f"shapes have no IR reshape lowering; re-express the "
+                    f"shape statically")
         lname = self.fresh(opcode)
         self.layers.append(Layer(lname, opcode, kwargs))
         dsts = [self.fresh("t") for _ in range(n_out)]
@@ -324,7 +339,23 @@ class _Lowerer:
         name = node.target
         x = self.env[node.args[0].name]
         if name in ("view", "reshape"):
-            dims = [d if isinstance(d, int) else 0 for d in node.args[1:]]
+            # 0 in a reshape target means keep-input-dim at that POSITION, so
+            # a non-int fx arg may only map to 0 when it is literally
+            # x.size(i) of the same tensor at position i — anything computed
+            # (b*t, another tensor's size) must fail loudly, not guess
+            dims = []
+            for i, d in enumerate(node.args[1:]):
+                if isinstance(d, int):
+                    dims.append(d)
+                elif (getattr(d, "op", None) == "call_method"
+                      and d.target == "size" and len(d.args) == 2
+                      and d.args[0] is node.args[0] and d.args[1] == i):
+                    dims.append(0)
+                else:
+                    raise NotImplementedError(
+                        f"dynamic reshape dim at position {i} is not "
+                        f"x.size({i}) of the reshaped tensor; re-express the "
+                        f"shape statically")
             shp = self.add_weight(self.fresh("shp"),
                                   np.asarray(dims, np.int64))
             return self.emit("reshape", [x, shp])
@@ -345,6 +376,11 @@ class _Lowerer:
             return self.emit("identity", [x])
         if name == "sigmoid":
             return self.emit("sigmoid", [x])
+        if name == "size":
+            # trace-time-only value: consumed structurally by the view/
+            # reshape lowering (which inspects the fx node, not the env);
+            # any other consumer resolves this sentinel and fails loudly
+            return _TraceTimeOnly(node)
         raise NotImplementedError(f"tensor method {name!r} has no IR lowering")
 
     # --------------------------------------------------------------- driver

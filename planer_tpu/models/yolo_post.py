@@ -52,7 +52,9 @@ def _nms_numpy(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
     x2 = boxes[:, 0] + boxes[:, 2] / 2
     y2 = boxes[:, 1] + boxes[:, 3] / 2
     areas = (x2 - x1) * (y2 - y1)
-    order = np.argsort(-scores)[:top_k * 4]
+    # scan ALL candidates (no pre-truncation) so this path is behaviorally
+    # identical to the native C++ kernel in dense scenes
+    order = np.argsort(-scores)
     keep = []
     while order.size and len(keep) < top_k:
         i = order[0]

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import resize as _rs
+from . import modes as _modes
+from .padding import resolve_conv_pads, resolve_pool_pads
 from .qtypes import QTensor
 
 # --------------------------------------------------------------------------
@@ -88,7 +90,11 @@ def _conv_w8a8(x, K, B, strides, dilations, pads):
 
 
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
-           pads=(0, 0, 0, 0)):
+           pads=(0, 0, 0, 0), auto_pad=None):
+    if auto_pad:
+        kshape = K.q.shape if isinstance(K, QTensor) else K.shape
+        pads = resolve_conv_pads(x.shape[2:], kshape[2:], strides, dilations,
+                                 pads, auto_pad)
     if isinstance(K, QTensor):
         # W8A8: on layers with C_in >= 128 the s8 x s8 -> s32 MXU path is
         # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
@@ -212,23 +218,40 @@ def _pool_dims(w, pads, strides):
     return w, ((0, 0), (0, 0), (pt, pb), (pl, pr)), strides
 
 
-def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2)):
-    (kh, kw), pad4, (sh, sw) = _pool_dims(w, pads, strides)
+def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2), auto_pad=None,
+            ceil_mode=0):
+    w = (2, 2) if w is None else w
+    (pt, pl, pb, pr), (eh, ew) = resolve_pool_pads(
+        x.shape[2:], w, strides, pads, auto_pad, ceil_mode)
+    (kh, kw), pad4, (sh, sw) = _pool_dims(
+        w, (pt, pl, pb + eh, pr + ew), strides)
     init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(x, init, lax.max, (1, 1, kh, kw), (1, 1, sh, sw),
                              pad4)
 
 
 def averagepool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2),
-                count_include_pad=1):
-    (kh, kw), pad4, (sh, sw) = _pool_dims(w, pads, strides)
+                count_include_pad=1, auto_pad=None, ceil_mode=0):
+    w = (2, 2) if w is None else w
+    (pt, pl, pb, pr), (eh, ew) = resolve_pool_pads(
+        x.shape[2:], w, strides, pads, auto_pad, ceil_mode)
+    (kh, kw), pad4, (sh, sw) = _pool_dims(
+        w, (pt, pl, pb + eh, pr + ew), strides)
     s = lax.reduce_window(x, jnp.array(0, x.dtype), lax.add,
                           (1, 1, kh, kw), (1, 1, sh, sw), pad4)
-    if count_include_pad:
+    if count_include_pad and (eh, ew) == (0, 0):
         return s / (kh * kw)
-    ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
+    # divisor counts window overlap with the (padded iff count_include_pad)
+    # extent; ceil_mode's virtual extension never enters the divisor
+    if count_include_pad:
+        ones = jnp.ones((1, 1, x.shape[2] + pt + pb, x.shape[3] + pl + pr),
+                        x.dtype)
+        cpad = ((0, 0), (0, 0), (0, eh), (0, ew))
+    else:
+        ones = jnp.ones((1, 1) + x.shape[2:], x.dtype)
+        cpad = pad4
     cnt = lax.reduce_window(ones, jnp.array(0, x.dtype), lax.add,
-                            (1, 1, kh, kw), (1, 1, sh, sw), pad4)
+                            (1, 1, kh, kw), (1, 1, sh, sw), cpad)
     return s / cnt
 
 
@@ -323,10 +346,15 @@ def logsoftmax(x, axis=-1):
 def clip(x, min_t=None, max_t=None, min=None, max=None):
     lo = min if min is not None else min_t
     hi = max if max is not None else max_t
+    if lo is None and hi is None:  # legal ONNX Clip — identity
+        return x
     return jnp.clip(x, lo, hi)
 
 
 def erf(x):
+    if _modes.get_erf_mode() == "lut":
+        idx = _modes.lut_index_f(x.astype(jnp.float32)).astype(jnp.int16)
+        return jnp.asarray(_modes.ERF_LUT, x.dtype)[idx]
     return lax.erf(x)
 
 
@@ -598,8 +626,15 @@ def _resize_nchw(x, out_hw, scales, mode, coord_mode, nearest_mode):
     raise ValueError(f"unsupported resize mode {mode!r}")
 
 
-def upsample(x, k, mode="nearest"):
+def upsample(x, k, mode="nearest", size=None):
     k = np.asarray(k, dtype=np.float64).ravel()
+    if k.size == 0:  # empty scales: explicit size (reference crashes here)
+        if size is None or np.size(size) == 0:
+            raise ValueError("Upsample with empty scales needs a size")
+        ss = np.asarray(size).astype(np.int64).ravel()
+        out_hw, sc = _rs.resize_shape(x.shape[-2:],
+                                      sizes=(int(ss[-2]), int(ss[-1])))
+        return _resize_nchw(x, out_hw, sc, mode, "asymmetric", "floor")
     kh, kw = float(k[-2]), float(k[-1])
     (oh, ow), sc = _rs.resize_shape(x.shape[-2:], scales=(kh, kw))
     return _resize_nchw(x, (oh, ow), sc, mode, "asymmetric", "floor")

@@ -19,28 +19,31 @@ import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
 from . import resize as _rs
+from . import modes as _modes
+from .padding import resolve_conv_pads, resolve_pool_pads
 
 # --------------------------------------------------------------------------
 # conv / pool / matmul
 # --------------------------------------------------------------------------
 
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
-           pads=(0, 0, 0, 0)):
+           pads=(0, 0, 0, 0), auto_pad=None):
     """2-D convolution, NCHW x OIHW.
 
     ``pads`` uses the ONNX layout (h_begin, w_begin, h_end, w_end) — the same
     contract the reference converter emits (io.py:97) and its kernels consume
-    (util.py:23).
+    (util.py:23).  ``auto_pad`` (SAME_UPPER/SAME_LOWER) resolves to explicit
+    pads from the input shape (the reference ignores the attribute,
+    io.py:92-116).
     """
     if strides is None:
         strides = (1, 1)
     if dilations is None:
         dilations = (1, 1)
-    if pads is None:
-        pads = (0, 0, 0, 0)
     sh, sw = int(strides[0]), int(strides[1])
     dh, dw = int(dilations[0]), int(dilations[1])
-    pt, pl, pb, pr = (int(p) for p in pads)
+    pt, pl, pb, pr = resolve_conv_pads(x.shape[2:], K.shape[2:], strides,
+                                       dilations, pads, auto_pad)
     N, C, H, W = x.shape
     O, Cg, kh, kw = K.shape
     g = int(group)
@@ -104,7 +107,7 @@ def matmul(x, y):
     return np.matmul(x, y)
 
 
-def _pool2d(x, w, pads, strides, reducer, pad_value):
+def _pool2d(x, w, pads, strides, reducer, pad_value, extra=(0, 0)):
     if w is None:
         w = (2, 2)
     if pads is None:
@@ -114,34 +117,49 @@ def _pool2d(x, w, pads, strides, reducer, pad_value):
     kh, kw = int(w[0]), int(w[1])
     sh, sw = int(strides[0]), int(strides[1])
     pt, pl, pb, pr = (int(p) for p in pads)
-    xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+    xp = np.pad(x, ((0, 0), (0, 0), (pt, pb + extra[0]), (pl, pr + extra[1])),
                 constant_values=pad_value)
     v = sliding_window_view(xp, (kh, kw), axis=(2, 3))
     v = v[:, :, ::sh, ::sw]
     return reducer(v, axis=(-2, -1))
 
 
-def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2)):
+def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2), auto_pad=None,
+            ceil_mode=0):
     """MaxPool with -inf padding (ONNX spec; the reference seeds -1e4 and lets
-    0-padding participate, util.py:87-95 — a latent bug we do not reproduce)."""
+    0-padding participate, util.py:87-95 — a latent bug we do not reproduce).
+
+    ``ceil_mode=1`` extends the bottom/right virtual padding so the output
+    size rounds up (last window clamped to start within input+pads)."""
+    w = (2, 2) if w is None else w
+    pads, extra = resolve_pool_pads(x.shape[2:], w, strides, pads, auto_pad,
+                                    ceil_mode)
     if np.issubdtype(x.dtype, np.floating):
         fill = -np.inf
     else:
         fill = np.iinfo(x.dtype).min
-    return _pool2d(x, w, pads, strides, np.max, fill).astype(x.dtype, copy=False)
+    return _pool2d(x, w, pads, strides, np.max, fill,
+                   extra).astype(x.dtype, copy=False)
 
 
 def averagepool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2),
-                count_include_pad=1):
+                count_include_pad=1, auto_pad=None, ceil_mode=0):
     """AveragePool.  ``count_include_pad`` defaults to 1 for wire-parity with
-    the reference (util.py:97-100 divides by kernel size unconditionally)."""
-    out = _pool2d(x, w, pads, strides, np.sum, 0.0)
-    if count_include_pad:
-        kh, kw = (int(w[0]), int(w[1])) if w is not None else (2, 2)
+    the reference (util.py:97-100 divides by kernel size unconditionally).
+    ceil_mode's virtual extension never enters the divisor (ORT semantics)."""
+    w = (2, 2) if w is None else w
+    pads, extra = resolve_pool_pads(x.shape[2:], w, strides, pads, auto_pad,
+                                    ceil_mode)
+    out = _pool2d(x, w, pads, strides, np.sum, 0.0, extra)
+    if count_include_pad and extra == (0, 0):
+        kh, kw = int(w[0]), int(w[1])
         return (out / (kh * kw)).astype(x.dtype, copy=False)
-    ones = np.ones(x.shape[2:], dtype=np.float32)[None, None]
-    cnt = _pool2d(np.broadcast_to(ones, (1, 1) + x.shape[2:]), w, pads,
-                  strides, np.sum, 0.0)
+    # divisor = window overlap with (padded iff count_include_pad) extent
+    ext = x.shape[2:] if not count_include_pad else \
+        (x.shape[2] + pads[0] + pads[2], x.shape[3] + pads[1] + pads[3])
+    ones = np.ones((1, 1) + tuple(ext), dtype=np.float32)
+    cpads = pads if not count_include_pad else (0, 0, 0, 0)
+    cnt = _pool2d(ones, w, cpads, strides, np.sum, 0.0, extra)
     return (out / cnt).astype(x.dtype, copy=False)
 
 
@@ -228,6 +246,8 @@ def logsoftmax(x, axis=-1):
 def clip(x, min_t=None, max_t=None, min=None, max=None):
     lo = min if min is not None else min_t
     hi = max if max is not None else max_t
+    if lo is None and hi is None:  # legal ONNX Clip — identity
+        return x
     return np.clip(x, lo, hi)
 
 
@@ -235,8 +255,12 @@ _erf = np.vectorize(math.erf, otypes=[np.float64])
 
 
 def erf(x):
-    """Exact erf (the reference uses a 1025-entry LUT over [-2,2],
-    layer.py:253-258; we use the true function)."""
+    """Exact erf by default; ``modes.set_erf_mode('lut')`` reproduces the
+    reference's 1025-entry LUT over [-2,2] bit-for-bit (layer.py:253-258)."""
+    if _modes.get_erf_mode() == "lut":
+        idx = _modes.lut_index_f(np.asarray(x, np.float32)).astype(np.int16)
+        dt = x.dtype if hasattr(x, "dtype") else np.float32
+        return _modes.ERF_LUT.astype(dt)[idx]
     return _erf(x).astype(x.dtype if hasattr(x, "dtype") else np.float32)
 
 
@@ -496,9 +520,18 @@ def _resize_nchw(x, out_hw, scales, mode, coord_mode, nearest_mode):
     raise ValueError(f"unsupported resize mode {mode!r}")
 
 
-def upsample(x, k, mode="nearest"):
-    """ONNX Upsample (deprecated op): scales tensor k, NCHW."""
+def upsample(x, k, mode="nearest", size=None):
+    """ONNX Upsample (deprecated op): scales tensor k, NCHW.  An empty k
+    falls back to an explicit output ``size`` via the shared resize plan (the
+    reference crashes on this input — undefined ``size``, layer.py:80-82)."""
     k = np.asarray(k, dtype=np.float64).ravel()
+    if k.size == 0:
+        if size is None or np.size(size) == 0:
+            raise ValueError("Upsample with empty scales needs a size")
+        ss = np.asarray(size).astype(np.int64).ravel()
+        out_hw, sc = _rs.resize_shape(x.shape[-2:],
+                                      sizes=(int(ss[-2]), int(ss[-1])))
+        return _resize_nchw(x, out_hw, sc, mode, "asymmetric", "floor")
     kh, kw = float(k[-2]), float(k[-1])
     (oh, ow), sc = _rs.resize_shape(x.shape[-2:], scales=(kh, kw))
     return _resize_nchw(x, (oh, ow), sc, mode, "asymmetric", "floor")

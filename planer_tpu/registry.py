@@ -93,14 +93,17 @@ _reg("reshape", nops.reshape, jops.reshape, static_args=(1,))
 _reg("flatten", nops.flatten, jops.flatten)
 _reg("transpose", nops.transpose, jops.transpose)
 _reg("concat", nops.concat, jops.concat)
-_reg("split", nops.split, jops.split, multi_output=True)
+_reg("split", nops.split, jops.split, static_args=(1,), multi_output=True)
 _reg("gather", nops.gather, jops.gather)
 _reg("slice", nops.slice_, jops.slice_, static_args=(1, 2, 3, 4))
 _reg("expand", nops.expand, jops.expand, static_args=(1,))
 _reg("tile", nops.tile, jops.tile, static_args=(1,))
 _reg("pad", nops.pad, jops.pad, static_args=(1,))
-_reg("squeeze", nops.squeeze, jops.squeeze)
-_reg("unsqueeze", nops.unsqueeze, jops.unsqueeze)
+# axes arrive as positional inputs in opset >= 13 (the torch.onnx default) —
+# they are shape operands, so the tracer must read them from the static env
+# (or cut the graph if input-dependent), never trace them
+_reg("squeeze", nops.squeeze, jops.squeeze, static_args=(1,))
+_reg("unsqueeze", nops.unsqueeze, jops.unsqueeze, static_args=(1,))
 _reg("shape", nops.shape_of, jops.shape_of)
 _reg("cast", nops.cast, jops.cast)
 _reg("const", nops.const, jops.const)

@@ -227,3 +227,87 @@ def test_slice_opset10_inputs(rng):
     np.testing.assert_allclose(np.asarray(net.forward(x, engine="numpy")),
                                x[:, 1:4:2])
     np.testing.assert_allclose(np.asarray(net.forward(x)), x[:, 1:4:2])
+
+
+def test_conv_auto_pad_through_converter(rng):
+    """Conv with auto_pad=SAME_UPPER (no pads attr) loads and runs — the
+    reference silently ignores the attribute (io.py:92-116); we resolve it."""
+    W = (rng.standard_normal((4, 3, 3, 3)) * 0.3).astype(np.float32)
+    nodes = [P.NodeProto(
+        input=["x", "w"], output=["y"], name="c", op_type="Conv",
+        attribute=[_attr_ints("kernel_shape", [3, 3]),
+                   _attr_ints("strides", [2, 2]),
+                   _attr_s("auto_pad", "SAME_UPPER")])]
+    graph = P.GraphProto(node=nodes, initializer=[P.from_array(W, "w")],
+                         input=[_vi("x", (1, 3, 13, 13))],
+                         output=[_vi("y", (1, 4, 7, 7))])
+    g, blob = convert_model(P.ModelProto(graph=graph))
+    net = Net(g)
+    net.weights = unpack_weights(g, blob)
+    x = rng.standard_normal((1, 3, 13, 13)).astype(np.float32)
+    yn = np.asarray(net.forward(x, engine="numpy"))
+    assert yn.shape == (1, 4, 7, 7)  # ceil(13/2)
+    yj = np.asarray(net.forward(x))
+    np.testing.assert_allclose(yn, yj, rtol=1e-4, atol=1e-4)
+
+
+def test_pool_ceil_mode_through_converter(rng):
+    nodes = [P.NodeProto(
+        input=["x"], output=["y"], name="p", op_type="MaxPool",
+        attribute=[_attr_ints("kernel_shape", [3, 3]),
+                   _attr_ints("strides", [2, 2]),
+                   _attr_i("ceil_mode", 1)])]
+    graph = P.GraphProto(node=nodes, input=[_vi("x", (1, 2, 14, 14))],
+                         output=[_vi("y", (1, 2, 7, 7))])
+    g, blob = convert_model(P.ModelProto(graph=graph))
+    net = Net(g)
+    net.weights = unpack_weights(g, blob)
+    x = rng.standard_normal((1, 2, 14, 14)).astype(np.float32)
+    yn = np.asarray(net.forward(x, engine="numpy"))
+    assert yn.shape == (1, 2, 7, 7)  # ceil((14-3)/2)+1
+    np.testing.assert_allclose(yn, np.asarray(net.forward(x)), rtol=1e-5)
+
+
+def test_gemm_beta_non_init_bias_raises(rng):
+    W = rng.standard_normal((3, 2)).astype(np.float32)
+    nodes = [
+        P.NodeProto(input=["x"], output=["b"], name="r", op_type="Relu"),
+        P.NodeProto(input=["x", "w", "b"], output=["y"], name="g",
+                    op_type="Gemm",
+                    attribute=[_attr_f("beta", 0.5)]),
+    ]
+    graph = P.GraphProto(node=nodes, initializer=[P.from_array(W, "w")],
+                         input=[_vi("x", (1, 3))], output=[_vi("y", (1, 2))])
+    with pytest.raises(NotImplementedError, match="beta"):
+        convert_model(P.ModelProto(graph=graph))
+
+
+def test_opset13_axes_inputs_jit_path(rng):
+    """Squeeze/Unsqueeze/Split with axes/split as initializer INPUTS must
+    trace through the jitted path (static_args hoists them to trace time;
+    without it the jax impl crashes converting a tracer to numpy)."""
+    nodes = [
+        P.NodeProto(input=["x", "ax0"], output=["u"], name="un",
+                    op_type="Unsqueeze"),
+        P.NodeProto(input=["u", "sp"], output=["s1", "s2"], name="sp0",
+                    op_type="Split", attribute=[_attr_i("axis", 2)]),
+        P.NodeProto(input=["s1", "s2"], output=["m"], name="mu",
+                    op_type="Mul"),
+        P.NodeProto(input=["m", "ax0"], output=["y"], name="sq",
+                    op_type="Squeeze"),
+    ]
+    graph = P.GraphProto(
+        node=nodes,
+        initializer=[P.from_array(np.array([0], np.int64), "ax0"),
+                     P.from_array(np.array([2, 2], np.int64), "sp")],
+        input=[_vi("x", (3, 4))], output=[_vi("y", (3, 2))])
+    g, blob = convert_model(P.ModelProto(graph=graph))
+    net = Net(g)
+    net.weights = unpack_weights(g, blob)
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    ref = x[:, :2] * x[:, 2:]
+    np.testing.assert_allclose(np.asarray(net.forward(x, engine="numpy")),
+                               ref, rtol=1e-6)
+    # the jitted path must not fall back to a host tail: whole graph traces
+    assert net.program.plan.cut >= len(g.flow)
+    np.testing.assert_allclose(np.asarray(net.forward(x)), ref, rtol=1e-5)

@@ -382,3 +382,119 @@ def test_rnn_sequence_lens_raises(rng):
     Rl = rng.standard_normal((1, 16, 4)).astype(np.float32)
     with pytest.raises(NotImplementedError, match="sequence"):
         nops.lstm(X, Wl, Rl, None, np.array([2, 3]))
+
+
+# --------------------------------------------------------------------------
+# auto_pad / ceil_mode / erf LUT / clip identity / empty-scales upsample
+# (round-2 frontend-completeness features — VERDICT.md "missing" items)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ap", ["SAME_UPPER", "SAME_LOWER"])
+@pytest.mark.parametrize("shape,stride", [
+    ((1, 3, 13, 17), (2, 2)),     # odd input, odd total pad
+    ((2, 4, 16, 16), (1, 1)),
+    ((1, 3, 15, 15), (3, 3)),
+])
+def test_conv_auto_pad(rng, ap, shape, stride):
+    import math
+    x = rng.standard_normal(shape).astype(np.float32)
+    K = (rng.standard_normal((6, shape[1], 3, 3)) * 0.2).astype(np.float32)
+    yn = nops.conv2d(x, K, None, strides=stride, auto_pad=ap)
+    yj = jops.conv2d(x, K, None, strides=stride, auto_pad=ap)
+    # SAME: out = ceil(in / stride)
+    assert yn.shape[2:] == (math.ceil(shape[2] / stride[0]),
+                            math.ceil(shape[3] / stride[1]))
+    assert_close(yn, yj, tol=1e-4)
+    # torch cross-check (torch 'same' only supports stride 1 / symmetric —
+    # emulate with explicit F.pad so asymmetric SAME_* is exercised too)
+    import torch
+    import torch.nn.functional as F
+    from planer_tpu.ops.padding import resolve_conv_pads
+    pt, pl_, pb, pr = resolve_conv_pads(shape[2:], (3, 3), stride, (1, 1),
+                                        None, ap)
+    xt = F.pad(torch.from_numpy(x), (pl_, pr, pt, pb))
+    ref = F.conv2d(xt, torch.from_numpy(K), stride=stride).numpy()
+    assert_close(yn, ref, tol=1e-4)
+
+
+@pytest.mark.parametrize("shape,k,s,pads", [
+    ((1, 3, 15, 15), (3, 3), (2, 2), (0, 0, 0, 0)),
+    ((2, 2, 14, 17), (2, 2), (2, 2), (0, 0, 0, 0)),
+    ((1, 4, 13, 13), (3, 3), (2, 2), (1, 1, 1, 1)),
+])
+def test_maxpool_ceil_mode(rng, shape, k, s, pads):
+    import torch
+    import torch.nn.functional as F
+    x = rng.standard_normal(shape).astype(np.float32)
+    yn = nops.maxpool(x, w=k, pads=pads, strides=s, ceil_mode=1)
+    yj = jops.maxpool(x, w=k, pads=pads, strides=s, ceil_mode=1)
+    ref = F.max_pool2d(torch.from_numpy(x), k, s, padding=pads[0],
+                       ceil_mode=True).numpy()
+    assert yn.shape == ref.shape
+    assert_close(yn, ref)
+    assert_close(np.asarray(yj), ref)
+
+
+@pytest.mark.parametrize("cip", [0, 1])
+def test_avgpool_ceil_mode(rng, cip):
+    import torch
+    import torch.nn.functional as F
+    x = rng.standard_normal((1, 3, 13, 13)).astype(np.float32)
+    yn = nops.averagepool(x, w=(3, 3), pads=(1, 1, 1, 1), strides=(2, 2),
+                          count_include_pad=cip, ceil_mode=1)
+    yj = jops.averagepool(x, w=(3, 3), pads=(1, 1, 1, 1), strides=(2, 2),
+                          count_include_pad=cip, ceil_mode=1)
+    ref = F.avg_pool2d(torch.from_numpy(x), 3, 2, padding=1, ceil_mode=True,
+                       count_include_pad=bool(cip)).numpy()
+    assert yn.shape == ref.shape
+    assert_close(yn, ref, tol=1e-5)
+    assert_close(np.asarray(yj), ref, tol=1e-5)
+
+
+def test_pool_auto_pad(rng):
+    x = rng.standard_normal((1, 3, 13, 17)).astype(np.float32)
+    yn = nops.maxpool(x, w=(3, 3), strides=(2, 2), auto_pad="SAME_UPPER")
+    yj = jops.maxpool(x, w=(3, 3), strides=(2, 2), auto_pad="SAME_UPPER")
+    assert yn.shape[2:] == (7, 9)
+    assert_close(yn, yj)
+
+
+def test_clip_no_bounds_identity(rng):
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    np.testing.assert_array_equal(nops.clip(x), x)
+    np.testing.assert_array_equal(np.asarray(jops.clip(x)), x)
+
+
+def test_erf_lut_parity(rng):
+    """LUT mode reproduces the reference table bit-for-bit in both paths
+    (reference layer.py:253-258: erflut[trunc(clip(x+2,0,4)*256)])."""
+    import math
+    from planer_tpu.ops import modes
+    x = np.concatenate([
+        rng.standard_normal(256).astype(np.float32) * 2,
+        np.array([-3.0, -2.0, -1e-8, 0.0, 1e-8, 2.0, 3.0], np.float32)])
+    modes.set_erf_mode("lut")
+    try:
+        yn = nops.erf(x.copy())
+        yj = np.asarray(jops.erf(x.copy()))
+        lut = np.array([math.erf(i / 256 - 2) for i in range(1025)],
+                       np.float32)
+        idx = (np.clip(x + 2, 0, 4) * 256).astype(np.int16)
+        ref = lut[idx]
+        np.testing.assert_array_equal(yn, ref)
+        np.testing.assert_array_equal(yj, ref)
+    finally:
+        modes.set_erf_mode("exact")
+    # exact mode differs from the LUT (and is more accurate)
+    assert not np.array_equal(nops.erf(x.copy()), ref)
+
+
+def test_upsample_empty_scales(rng):
+    x = rng.standard_normal((1, 2, 5, 5)).astype(np.float32)
+    k = np.zeros((0,), np.float32)
+    yn = nops.upsample(x, k, size=np.array([1, 2, 10, 10]))
+    yj = jops.upsample(x, k, size=np.array([1, 2, 10, 10]))
+    assert yn.shape == (1, 2, 10, 10)
+    assert_close(yn, yj)
+    with pytest.raises(ValueError, match="size"):
+        nops.upsample(x, k)

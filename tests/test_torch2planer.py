@@ -188,3 +188,31 @@ def test_functional_max_pool_positional(rng):
 
     x = rng.standard_normal((1, 2, 8, 8)).astype(np.float32)
     _run_both(M(), x, tol=1e-6)
+
+
+def test_view_size_positional_ok_and_computed_raises(rng):
+    """x.view(x.size(0), -1) lowers to reshape [0, -1]; a COMPUTED dynamic
+    dim (x.size(0) at the wrong position, or arithmetic) must fail loudly
+    instead of silently producing a wrong reshape target."""
+    class Ok(nn.Module):
+        def forward(self, x):
+            return x.view(x.size(0), -1)
+
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    _run_both(Ok(), x)
+
+    class Bad(nn.Module):
+        def forward(self, x):
+            return x.view(x.size(0) * x.size(1), -1)
+
+    from planer_tpu.frontend.torch2planer import torch2planer
+    with pytest.raises(NotImplementedError, match="reshape"):
+        torch2planer(Bad(), torch.from_numpy(x))
+
+    class Misplaced(nn.Module):
+        def forward(self, x):
+            # size(1) used at position 0 — NOT keep-input-dim semantics
+            return x.view(x.size(1), -1)
+
+    with pytest.raises(NotImplementedError, match="reshape"):
+        torch2planer(Misplaced(), torch.from_numpy(x))
