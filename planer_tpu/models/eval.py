@@ -43,30 +43,54 @@ def synthetic_images(n: int, shape=(3, 224, 224), seed: int = 0,
 
 
 def top1_agreement(net_ref, net_test, n: int = 64, shape=(3, 224, 224),
-                   seed: int = 0, batch: int = 8) -> float:
-    """Fraction of synthetic inputs where the two nets agree on argmax."""
-    agree = total = 0
+                   seed: int = 0, batch: int = 8,
+                   min_margin: float = 0.0) -> float:
+    """Fraction of synthetic inputs where the two nets agree on argmax.
+
+    ``min_margin`` (relative to the logit scale) excludes inputs where the
+    REFERENCE's top-1/top-2 gap is below the threshold: on untrained weights
+    many logits tie to within quantization noise, and a flip there says
+    nothing about quantization quality (a trained net has decisive margins
+    on in-distribution data).  Excluded inputs are not counted either way;
+    with fewer than 25% decisive inputs the metric raises (the net/threshold
+    combination is not measurable).
+    """
+    agree = total = seen = 0
     for x in synthetic_images(n, shape, seed, batch):
         a = np.asarray(net_ref(x))
         b = np.asarray(net_test(x))
+        seen += a.shape[0]
+        if min_margin > 0.0:
+            srt = np.sort(a, axis=-1)
+            margin = (srt[..., -1] - srt[..., -2]) / (
+                np.abs(a).max(axis=-1) + 1e-9)
+            keep = margin >= min_margin
+            a, b = a[keep], b[keep]
         agree += int((a.argmax(-1) == b.argmax(-1)).sum())
         total += a.shape[0]
+    if min_margin > 0.0 and total < max(seen // 4, 1):
+        raise ValueError(
+            f"only {total}/{seen} inputs have decisive reference margins "
+            f">= {min_margin}; lower min_margin or use different inputs")
     return agree / max(total, 1)
 
 
 def output_delta(net_ref, net_test, n: int = 16, shape=(3, 224, 224),
                  seed: int = 0, batch: int = 8) -> dict:
-    mx = mean = total = 0.0
+    mx = mean = 0.0
     cnt = 0
+    p99s = []
     for x in synthetic_images(n, shape, seed, batch):
         a = np.asarray(net_ref(x))
         b = np.asarray(net_test(x))
         denom = np.abs(a).max() + 1e-9
         d = np.abs(a - b) / denom
         mx = max(mx, float(d.max()))
+        p99s.append(float(np.percentile(d, 99)))
         mean += float(d.mean())
         cnt += 1
-    return {"max_rel": mx, "mean_rel": mean / max(cnt, 1)}
+    return {"max_rel": mx, "mean_rel": mean / max(cnt, 1),
+            "p99_rel": max(p99s) if p99s else 0.0}
 
 
 def _iou_matrix(a, b):
@@ -83,32 +107,46 @@ def _iou_matrix(a, b):
     return inter / (aa[:, None] + bb[None, :] - inter + 1e-9)
 
 
+def _match_dets(da, db, iou_match):
+    """Count da boxes matched by a same-class db box with IoU >= thresh."""
+    tp = 0
+    matched_b: set = set()
+    for i in range(len(da)):
+        cls = da[i, 5]
+        cand = [j for j in range(len(db))
+                if db[j, 5] == cls and j not in matched_b]
+        if cand:
+            ious = _iou_matrix(da[i:i + 1, :4], db[np.asarray(cand), :4])[0]
+            jbest = int(np.argmax(ious))
+            if ious[jbest] >= iou_match:
+                tp += 1
+                matched_b.add(cand[jbest])
+    return tp
+
+
 def detection_agreement(net_ref, net_test, n: int = 8, size: int = 416,
                         conf_thresh: float = 0.3, iou_match: float = 0.5,
-                        seed: int = 0) -> dict:
+                        seed: int = 0, hysteresis: float = 0.85) -> dict:
     """F1-style agreement between two nets' detections (mAP-delta proxy):
-    a ref box is 'kept' if the test net produces a same-class box with
-    IoU >= iou_match."""
+    a ref box counts as found if the test net produces a same-class box
+    with IoU >= iou_match.
+
+    ``hysteresis``: the *other* net is searched at ``hysteresis *
+    conf_thresh`` — a detection whose score sits at the threshold must not
+    count as a miss when the counterpart scores it epsilon lower (mAP
+    integrates over thresholds, so boundary flips do not move it)."""
     from . import yolo_post
     tp = fp = fn = 0
+    lo = hysteresis * conf_thresh
     for x in synthetic_images(n, (3, size, size), seed, batch=1):
         da = yolo_post.detect(net_ref, x, conf_thresh=conf_thresh)[0]
+        da_lo = yolo_post.detect(net_ref, x, conf_thresh=lo)[0]
         db = yolo_post.detect(net_test, x, conf_thresh=conf_thresh)[0]
-        matched_b = set()
-        for i in range(len(da)):
-            cls = da[i, 5]
-            cand = [j for j in range(len(db))
-                    if db[j, 5] == cls and j not in matched_b]
-            if cand:
-                ious = _iou_matrix(da[i:i + 1, :4],
-                                   db[np.asarray(cand), :4])[0]
-                jbest = int(np.argmax(ious))
-                if ious[jbest] >= iou_match:
-                    tp += 1
-                    matched_b.add(cand[jbest])
-                    continue
-            fn += 1
-        fp += len(db) - len(matched_b)
+        db_lo = yolo_post.detect(net_test, x, conf_thresh=lo)[0]
+        t = _match_dets(da, db_lo, iou_match)      # recall of ref boxes
+        tp += t
+        fn += len(da) - t
+        fp += len(db) - _match_dets(db, da_lo, iou_match)
     prec = tp / max(tp + fp, 1)
     rec = tp / max(tp + fn, 1)
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)

@@ -64,20 +64,48 @@ def _stacked_conv3x3(x, K, B, prec):
     return out
 
 
-def _conv_w8a8(x, K, B, strides, dilations, pads):
-    """Per-tensor activation quant + s8 x s8 -> s32 conv + dequant.  The
-    scale is a baked calibration constant when available (no reduction pass),
-    else computed dynamically per call."""
-    strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
-    dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
-    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
-    pt, pl, pb, pr = pads
+def _act_quant(x, K):
+    """Per-tensor activation quantization: baked calibration constant when
+    available, else a dynamic absmax reduction."""
     if K.act_scale is not None:
         sx = jnp.float32(K.act_scale)
     else:
         sx = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6).astype(jnp.float32) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
                  ).astype(jnp.int8)
+    return q, sx
+
+
+def _stacked_conv3x3_q(x, K, B):
+    """Output-row-stacked s8 x s8 -> s32 conv for O <= 64 3x3 layers: the
+    stacked formulation fills all 128 output lanes, which unlocks the int8
+    MXU path on layers where plain W8A8 is lane-starved (measured 1.16x over
+    stacked bf16, experiments/RESULTS.md + probe_r2)."""
+    n, C, H, W = x.shape
+    O = K.q.shape[0]
+    q, sx = _act_quant(x, K)
+    Kp = jnp.zeros((2 * O, C, 4, 3), jnp.int8)
+    Kp = Kp.at[:O, :, 0:3, :].set(K.q)
+    Kp = Kp.at[O:, :, 1:4, :].set(K.q)
+    acc = lax.conv_general_dilated(
+        q, Kp, (2, 1), ((1, 1), (1, 1)), dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.int32)
+    T = acc.shape[2]
+    s2 = jnp.concatenate([K.scale.reshape(-1), K.scale.reshape(-1)])
+    z = acc.astype(jnp.float32) * (sx * s2.reshape(1, -1, 1, 1))
+    z = z.reshape(n, 2, O, T, W).transpose(0, 2, 3, 1, 4)
+    out = z.reshape(n, O, 2 * T, W).astype(x.dtype)
+    if B is not None:
+        out = out + B.reshape(1, -1, 1, 1).astype(out.dtype)
+    return out
+
+
+def _conv_w8a8(x, K, B, strides, dilations, pads):
+    """Per-tensor activation quant + s8 x s8 -> s32 conv + dequant.  The
+    scale is a baked calibration constant when available (no reduction pass),
+    else computed dynamically per call."""
+    pt, pl, pb, pr = pads
+    q, sx = _act_quant(x, K)
     acc = lax.conv_general_dilated(
         q, K.q, window_strides=strides, padding=((pt, pb), (pl, pr)),
         rhs_dilation=dilations, dimension_numbers=_DIMNUMS,
@@ -91,10 +119,22 @@ def _conv_w8a8(x, K, B, strides, dilations, pads):
 
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
            pads=(0, 0, 0, 0), auto_pad=None):
+    kshape = K.q.shape if isinstance(K, QTensor) else K.shape
+    strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
+    dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
     if auto_pad:
-        kshape = K.q.shape if isinstance(K, QTensor) else K.shape
         pads = resolve_conv_pads(x.shape[2:], kshape[2:], strides, dilations,
                                  pads, auto_pad)
+    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
+    stackable = (
+        _STACK_CONV and len(kshape) == 4 and tuple(kshape[2:]) == (3, 3)
+        and kshape[0] <= 64 and int(group) == 1
+        and strides == (1, 1) and dilations == (1, 1)
+        and pads == (1, 1, 1, 1) and x.ndim == 4
+        and x.shape[2] % 2 == 0 and x.shape[2] >= 4
+        # the row-interleave transpose only amortizes on big GEMMs
+        # (measured: +15% at batch>=32 on 56^2, -30% at batch<=8)
+        and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000)
     if isinstance(K, QTensor):
         # W8A8: on layers with C_in >= 128 the s8 x s8 -> s32 MXU path is
         # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
@@ -108,6 +148,13 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
                 and x.shape[0] * x.shape[2] * x.shape[3] >= 4096
                 and jnp.issubdtype(x.dtype, jnp.floating)):
             return _conv_w8a8(x, K, B, strides, dilations, pads)
+        # C<128 3x3: the STACKED formulation fills all 128 output lanes,
+        # unlocking the s8 MXU even on lane-starved layers (probe_r2: 0.051
+        # vs 0.059 ms stacked-bf16 at batch 32)
+        if (stackable and (K.act_dynamic or K.act_scale is not None)
+                and K.q.dtype == jnp.int8
+                and jnp.issubdtype(x.dtype, jnp.floating)):
+            return _stacked_conv3x3_q(x, K, B)
         # 1x1 stride-1 ungrouped conv IS a GEMM over (N*H*W, C) and CAN
         # route to the Pallas dequant+GEMM kernel — but measured on ResNet-50
         # (experiments/resnet50_bench.py) XLA's fused conv is 13% faster
@@ -126,19 +173,9 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
             y = _pgemm.dense_q(xm, kq, B)
             return jnp.transpose(y.reshape(n, h, w, o), (0, 3, 1, 2))
         K = K.dequant(x.dtype)
-    strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
-    dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
-    pads = (0, 0, 0, 0) if pads is None else tuple(int(p) for p in pads)
     pt, pl, pb, pr = pads
     prec = jnp.float32 if x.dtype != jnp.float64 else None
-    if (_STACK_CONV and K.ndim == 4 and K.shape[2:] == (3, 3)
-            and K.shape[0] <= 64 and int(group) == 1
-            and strides == (1, 1) and dilations == (1, 1)
-            and pads == (1, 1, 1, 1) and x.ndim == 4
-            and x.shape[2] % 2 == 0 and x.shape[2] >= 4
-            # the row-interleave transpose only amortizes on big GEMMs
-            # (measured: +15% at batch>=32 on 56^2, -30% at batch<=8)
-            and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000):
+    if stackable:
         return _stacked_conv3x3(x, K, B, prec)
     out = lax.conv_general_dilated(
         x, K,
@@ -218,14 +255,70 @@ def _pool_dims(w, pads, strides):
     return w, ((0, 0), (0, 0), (pt, pb), (pl, pr)), strides
 
 
+def _pairmax_1d(x, axis, k, p0, p1, fill):
+    """Max-pool one spatial axis with stride 2 via pair-reshape: stride-2
+    window selection lowers to strided gathers on TPU (reduce_window on the
+    lane dim measured ~10x bandwidth-bound time, experiments/probe_r2) —
+    splitting even/odd by a free row-major reshape + shifted maxes avoids
+    every strided access.  Requires (size + p0 + p1 - k) even and >= 0."""
+    size = x.shape[axis]
+    out = (size + p0 + p1 - k) // 2 + 1
+    # slice even/odd phases via reshape (free in row-major layout)
+    lead = x.shape[:axis]
+    tail = x.shape[axis + 1:]
+    # align the first window start to input index -p0: work on index
+    # j = 2*r - p0 + t for t in range(k)
+    cols = []
+    for t in range(k):
+        start = t - p0                      # input index of tap t at r=0
+        # gather x[start + 2*r] for r in [0, out): one parity slice
+        s0 = start % 2
+        base = (start - s0) // 2            # pair index offset (may be -1)
+        pairs = size // 2
+        ph = x.reshape(lead + (pairs, 2) + tail)
+        ph = lax.index_in_dim(ph, s0, axis=axis + 1, keepdims=False)
+        # ph: phase slice of length `pairs`; need ph[base : base + out]
+        lo, hi = base, base + out
+        padl, padr = max(-lo, 0), max(hi - pairs, 0)
+        if padl or padr:
+            cfg = [(0, 0, 0)] * ph.ndim
+            cfg[axis] = (padl, padr, 0)
+            ph = lax.pad(ph, jnp.asarray(fill, ph.dtype), cfg)
+        ph = lax.slice_in_dim(ph, lo + padl, lo + padl + out, axis=axis)
+        cols.append(ph)
+    y = cols[0]
+    for c in cols[1:]:
+        y = jnp.maximum(y, c)
+    return y
+
+
 def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2), auto_pad=None,
-            ceil_mode=0):
+            ceil_mode=0, impl=None):
+    """MaxPool with two TPU lowerings, chosen per-layer by the IR optimizer
+    (optimize.annotate_pool_impl):
+
+      * default ``reduce_window`` — fuses into a producing conv's epilogue
+        (measured: +0.14 ms after the ResNet stem vs +0.65 for the shift
+        form, experiments/probe_r2);
+      * ``impl="shift"`` — pair-reshape + shifted maxes, for pools whose
+        input is NOT a fusable conv epilogue: stride-2 window selection in
+        reduce_window lowers to strided lane gathers (measured 4-16x slower
+        standalone: 1.05 ms vs 0.26 ms at 112^2 x64, batch 32).
+    """
     w = (2, 2) if w is None else w
     (pt, pl, pb, pr), (eh, ew) = resolve_pool_pads(
         x.shape[2:], w, strides, pads, auto_pad, ceil_mode)
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    kh, kw = (int(v) for v in w)
+    sh, sw = (2, 2) if strides is None else (int(strides[0]), int(strides[1]))
+    if (impl == "shift" and x.ndim == 4 and (sh, sw) == (2, 2)
+            and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+            and x.shape[2] + pt + pb + eh >= kh
+            and x.shape[3] + pl + pr + ew >= kw):
+        y = _pairmax_1d(x, 2, kh, pt, pb + eh, init)
+        return _pairmax_1d(y, 3, kw, pl, pr + ew, init)
     (kh, kw), pad4, (sh, sw) = _pool_dims(
         w, (pt, pl, pb + eh, pr + ew), strides)
-    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(x, init, lax.max, (1, 1, kh, kw), (1, 1, sh, sw),
                              pad4)
 

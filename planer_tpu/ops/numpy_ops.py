@@ -125,12 +125,14 @@ def _pool2d(x, w, pads, strides, reducer, pad_value, extra=(0, 0)):
 
 
 def maxpool(x, w=(2, 2), pads=(0, 0, 0, 0), strides=(2, 2), auto_pad=None,
-            ceil_mode=0):
+            ceil_mode=0, impl=None):
     """MaxPool with -inf padding (ONNX spec; the reference seeds -1e4 and lets
     0-padding participate, util.py:87-95 — a latent bug we do not reproduce).
 
     ``ceil_mode=1`` extends the bottom/right virtual padding so the output
-    size rounds up (last window clamped to start within input+pads)."""
+    size rounds up (last window clamped to start within input+pads).
+    ``impl`` is a lowering hint for the jax path; numerics are identical."""
+    del impl
     w = (2, 2) if w is None else w
     pads, extra = resolve_pool_pads(x.shape[2:], w, strides, pads, auto_pad,
                                     ceil_mode)

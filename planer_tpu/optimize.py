@@ -133,7 +133,60 @@ def fold_bn_into_conv(net) -> int:
     return folded
 
 
+# producers whose epilogue XLA fuses a reduce_window into (measured,
+# experiments/probe_r2): pooling directly after these is nearly free, while a
+# standalone reduce_window maxpool lowers to strided lane gathers (4-16x
+# slower than the shift form)
+_FUSABLE_PRODUCERS = {"conv", "convtranspose", "dense", "matmul"}
+# elementwise ops the fusion sees through (conv -> bn -> relu -> pool fuses)
+_TRANSPARENT = {"batchnorm", "relu", "leakyrelu", "sigmoid", "tanh", "clip",
+                "add", "sub", "mul", "div", "identity", "prelu", "elu",
+                "hardsigmoid", "cast"}
+
+
+def annotate_pool_impl(net) -> int:
+    """Annotate maxpool layers whose input is NOT a fusable conv epilogue
+    with ``impl="shift"`` (the pair-reshape lowering).  Returns the number of
+    pools annotated."""
+    graph: Graph = net.graph
+    layers = graph.layer_map()
+    # tensor -> (producing op, that op's first data input); chain layers
+    # rebind the edge dst, so later chain members see the previous member
+    producer: dict[str, tuple[str, str | None]] = {}
+    annotated = 0
+
+    def fusable_upstream(name: str) -> bool:
+        seen: set[str] = set()
+        while name in producer and name not in seen:
+            seen.add(name)
+            op, inp = producer[name]
+            if op in _FUSABLE_PRODUCERS:
+                return True
+            if op in _TRANSPARENT:
+                name = inp
+                continue
+            return False
+        return False  # graph input / init / unknown: standalone
+
+    for e in graph.flow:
+        for li, lname in enumerate(e.layers):
+            op = layers[lname].op
+            src = e.src if li == 0 else e.dst
+            inp = src[0] if src else None
+            if op == "maxpool" and inp is not None \
+                    and not fusable_upstream(inp):
+                if layers[lname].kwargs.get("impl") != "shift":
+                    layers[lname].kwargs["impl"] = "shift"
+                    annotated += 1
+            for d in e.dst:
+                producer[d] = (op, inp)
+    if annotated:
+        net._invalidate()
+    return annotated
+
+
 def optimize(net) -> dict:
     """Run all IR optimization passes; returns per-pass counts."""
-    report = {"fold_bn_into_conv": fold_bn_into_conv(net)}
+    report = {"fold_bn_into_conv": fold_bn_into_conv(net),
+              "annotate_pool_impl": annotate_pool_impl(net)}
     return report
