@@ -7,10 +7,12 @@ detection anywhere).  Serving-scope mechanisms here:
     clear error (a hung coordinator is the most common multi-host bring-up
     failure), env-var driven like standard TPU pod deployments;
   * :func:`health_check` — device liveness probe: run a tiny jitted add on
-    every local device with a deadline; returns per-device status.  The
-    serving front end calls this between batches when requests start timing
-    out, and a failed host drops out of the DP group (request-level retry
-    lives in ServingEngine.submit).
+    every local device with a deadline; returns per-device status.  It is
+    consumed AUTOMATICALLY by parallel.dispatcher: every worker answers the
+    dispatcher's periodic pings with this probe's result, and an unhealthy
+    (or unresponsive, or erroring) host is evicted from the DP group with
+    its in-flight work retried on the survivors (see dispatcher.Dispatcher;
+    request-level retry also lives in ServingEngine.submit).
 """
 from __future__ import annotations
 

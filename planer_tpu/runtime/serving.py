@@ -11,8 +11,9 @@ largest bucket fills or ``max_delay_ms`` expires, the batch is padded to the
 bucket size, executed, and results are split back to per-request futures.
 A ``stats()`` surface reports occupancy/latency (SURVEY §5 observability).
 
-Multi-host deployment composes this with parallel.sharding: host 0 runs the
-dispatcher, per-host queues feed device-sharded batches (the DP axis).
+Multi-host deployment: parallel.dispatcher runs this same bucketing policy
+on host 0 and feeds per-host workers over DCN (the cross-host DP axis),
+with automatic health-check consumption and failed-host eviction.
 """
 from __future__ import annotations
 
@@ -36,9 +37,11 @@ class ServingStats:
     requests: int = 0
     batches: int = 0
     padded: int = 0                      # padding rows executed
+    recompiles: int = 0                  # net calls with a never-seen shape
     window: int = 4096
     latencies_ms: collections.deque = None
     occupancy: collections.deque = None
+    shapes_seen: set = field(default_factory=set)
 
     def __post_init__(self):
         if self.latencies_ms is None:
@@ -57,6 +60,8 @@ class ServingStats:
             "pad_fraction": (self.padded / max(1, self.requests + self.padded)),
             "p50_ms": lat[n // 2] if n else 0.0,
             "p99_ms": lat[min(n - 1, int(n * 0.99))] if n else 0.0,
+            "recompiles": self.recompiles,
+            "distinct_shapes": len(self.shapes_seen),
         }
 
 
@@ -66,9 +71,28 @@ class ServingEngine:
 
     def __init__(self, net, buckets=(1, 2, 4, 8, 16, 32),
                  max_delay_ms: float = 5.0, warmup: bool = False,
-                 example_shape=None):
+                 example_shape=None, hw_buckets=None, pad_mode: str = "edge",
+                 crop_outputs: bool = True):
+        """``hw_buckets``: optional spatial shape buckets — each ``int`` or
+        ``(H, W)`` entry is a padded size class.  A request whose trailing
+        H x W fits a bucket is padded up to it (``pad_mode``: numpy pad
+        mode; "edge" perturbs border convs least) so a NEW image size never
+        triggers an XLA recompile at serve time (SURVEY §7 hard-part #5 —
+        batch bucketing alone still recompiles per H x W).  Spatially-mapped
+        outputs are cropped back to the request's scale when
+        ``crop_outputs`` (segmentation/detection); classification heads
+        (no spatial dims) are unaffected.  ``stats()['recompiles']`` counts
+        never-seen batch shapes reaching the net, so regressions are
+        observable in production."""
         self.net = net
         self.buckets = tuple(sorted(buckets))
+        self.hw_buckets = None
+        if hw_buckets is not None:
+            self.hw_buckets = tuple(sorted(
+                (b, b) if np.isscalar(b) else (int(b[0]), int(b[1]))
+                for b in hw_buckets))
+        self.pad_mode = pad_mode
+        self.crop_outputs = crop_outputs
         self.max_delay = max_delay_ms / 1e3
         self.stats_data = ServingStats()
         self._q: queue.Queue = queue.Queue()
@@ -137,12 +161,13 @@ class ServingEngine:
                     batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            # group by example shape/dtype (mixed requests must not kill the
-            # dispatcher or each other); each group runs as its own batch
+            # group by PADDED example shape/dtype (mixed requests must not
+            # kill the dispatcher or each other); with hw_buckets, different
+            # image sizes that pad to the same bucket share one batch
             groups: dict = {}
             for item in batch:
-                groups.setdefault((item[0].shape, str(item[0].dtype)),
-                                  []).append(item)
+                key = (self._target_shape(item[0].shape), str(item[0].dtype))
+                groups.setdefault(key, []).append(item)
             for g in groups.values():
                 try:
                     self._run_batch(g)
@@ -151,16 +176,55 @@ class ServingEngine:
                         if not item[1].done():
                             item[1].set_exception(e)
 
+    def _target_shape(self, shape) -> tuple:
+        """Example shape after spatial pad-to-bucket (identity when
+        hw_buckets is unset, the example has no spatial dims, or it exceeds
+        every bucket — oversize requests keep exact-shape semantics)."""
+        if self.hw_buckets is None or len(shape) < 2:
+            return tuple(shape)
+        h, w = shape[-2], shape[-1]
+        for bh, bw in self.hw_buckets:
+            if bh >= h and bw >= w:
+                return tuple(shape[:-2]) + (bh, bw)
+        return tuple(shape)
+
+    def _pad_example(self, x: np.ndarray, target: tuple) -> np.ndarray:
+        if tuple(x.shape) == target:
+            return x
+        cfg = [(0, t - s) for s, t in zip(x.shape, target)]
+        if self.pad_mode == "constant":
+            return np.pad(x, cfg, mode="constant")
+        return np.pad(x, cfg, mode=self.pad_mode)
+
+    def _crop_output(self, o: np.ndarray, orig_hw, padded_hw):
+        """Crop a spatially-mapped output back to the request's scale."""
+        if (not self.crop_outputs or o.ndim < 2 or orig_hw == padded_hw):
+            return o
+        ky = o.shape[-2] / padded_hw[0]
+        kx = o.shape[-1] / padded_hw[1]
+        # only crop outputs that actually map the padded plane (heads with
+        # unrelated trailing dims — logits, box lists — pass through)
+        if not (0 < ky <= 1 and 0 < kx <= 1) or o.shape[-2] < orig_hw[0] * ky:
+            return o
+        return o[..., : int(round(orig_hw[0] * ky)),
+                 : int(round(orig_hw[1] * kx))]
+
     def _run_batch(self, batch):
-        xs = [b[0] for b in batch]
         futs = [b[1] for b in batch]
         t_submit = min(b[2] for b in batch)
-        n = len(xs)
+        n = len(batch)
+        target = self._target_shape(batch[0][0].shape)
+        orig_hws = [(b[0].shape[-2], b[0].shape[-1])
+                    if b[0].ndim >= 2 else None for b in batch]
+        xs = [self._pad_example(b[0], target) for b in batch]
         bucket = self._bucket_for(n)
         x = np.stack(xs, axis=0)
         if bucket > n:
             pad = np.zeros((bucket - n,) + x.shape[1:], x.dtype)
             x = np.concatenate([x, pad], axis=0)
+        if x.shape not in self.stats_data.shapes_seen:
+            self.stats_data.shapes_seen.add(x.shape)
+            self.stats_data.recompiles += 1
         try:
             out = self.net(x)
         except Exception as e:
@@ -180,6 +244,10 @@ class ServingEngine:
         st.occupancy.append(n / bucket)
         st.latencies_ms.append(dt)
         outs = out if isinstance(out, tuple) else (out,)
+        padded_hw = (target[-2], target[-1]) if len(target) >= 2 else None
         for i, f in enumerate(futs):
             per = tuple(np.asarray(o)[i] for o in outs)
+            if padded_hw is not None and orig_hws[i] is not None:
+                per = tuple(self._crop_output(o, orig_hws[i], padded_hw)
+                            for o in per)
             f.set_result(per[0] if len(per) == 1 else per)

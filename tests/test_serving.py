@@ -157,3 +157,85 @@ def test_http_server_roundtrip(net, rng):
                 assert False, "expected 400"
             except urllib.error.HTTPError as e:
                 assert e.code == 400
+
+
+def test_hw_buckets_zero_recompiles(rng):
+    """Mixed image sizes pad to spatial buckets: the net only ever sees
+    bucket shapes, so a serve-time recompile can never happen (VERDICT
+    round-1 item 6; SURVEY §7 hard-part #5)."""
+    seen = []
+
+    class Recorder:
+        def __call__(self, x):
+            seen.append(x.shape)
+            return np.zeros((x.shape[0], 4), np.float32)
+
+    with ServingEngine(Recorder(), buckets=(1, 2, 4), max_delay_ms=1,
+                       hw_buckets=(32, 64)) as eng:
+        sizes = [(3, 20, 28), (3, 32, 32), (3, 17, 31), (3, 40, 64),
+                 (3, 64, 48), (3, 33, 33), (3, 21, 27), (3, 64, 64)]
+        futs = [eng.submit(rng.standard_normal(s).astype(np.float32))
+                for s in sizes]
+        for f in futs:
+            assert f.result(timeout=60).shape == (4,)
+        st = eng.stats()
+    allowed_hw = {(32, 32), (64, 64)}
+    assert all((s[-2], s[-1]) in allowed_hw for s in seen), seen
+    # every compiled shape is on the bucket grid, and the counter agrees
+    assert st["recompiles"] == len(set(seen))
+    assert st["recompiles"] <= len(allowed_hw) * 3  # |hw| x |batch buckets|
+
+
+def test_hw_bucket_output_cropping(rng):
+    """Spatially-mapped outputs (segmentation-style) crop back to the
+    request's own size after pad-to-bucket."""
+    class Seg:
+        def __call__(self, x):  # identity-ish spatial head, same H,W
+            return x * 2.0
+
+    with ServingEngine(Seg(), buckets=(1, 2), max_delay_ms=1,
+                       hw_buckets=(16,)) as eng:
+        x = rng.standard_normal((1, 11, 13)).astype(np.float32)
+        out = eng.infer(x)
+    assert out.shape == (1, 11, 13)
+    np.testing.assert_allclose(out, x * 2.0, rtol=1e-6)
+
+
+def test_hw_bucket_scaled_output_cropping(rng):
+    """Outputs at a spatial scale (stride-2 head) crop by the same scale."""
+    class Down2:
+        def __call__(self, x):
+            return x[..., ::2, ::2]
+
+    with ServingEngine(Down2(), buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(32,)) as eng:
+        x = rng.standard_normal((1, 20, 24)).astype(np.float32)
+        out = eng.infer(x)
+    assert out.shape == (1, 10, 12)
+
+
+def test_hw_bucket_oversize_falls_back_exact(rng):
+    """An image larger than every bucket keeps exact-shape semantics."""
+    seen = []
+
+    class Recorder:
+        def __call__(self, x):
+            seen.append(x.shape)
+            return np.zeros((x.shape[0], 2), np.float32)
+
+    with ServingEngine(Recorder(), buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(16,)) as eng:
+        eng.infer(rng.standard_normal((3, 40, 40)).astype(np.float32))
+    assert seen == [(1, 3, 40, 40)]
+
+
+def test_hw_buckets_mixed_sizes_share_batch(net, rng):
+    """Two different sizes padding to one bucket ride the SAME batch."""
+    with ServingEngine(net, buckets=(1, 2, 4), max_delay_ms=50,
+                       hw_buckets=(32,)) as eng:
+        f1 = eng.submit(rng.standard_normal((3, 28, 30)).astype(np.float32))
+        f2 = eng.submit(rng.standard_normal((3, 32, 32)).astype(np.float32))
+        o1, o2 = f1.result(timeout=60), f2.result(timeout=60)
+        st = eng.stats()
+    assert o1.shape == (8,) and o2.shape == (8,)
+    assert st["batches"] == 1  # shared despite different request sizes
