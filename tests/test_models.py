@@ -200,3 +200,97 @@ def test_detect_with_in_graph_decode(rng):
     x = rng.standard_normal((1, 3, 128, 128)).astype(np.float32)
     dets = models.yolo_post.detect(net, x, conf_thresh=0.3, num_classes=4)
     assert len(dets) == 1 and dets[0].shape[1] == 6
+
+
+# ---------------------------------------------------------------------------
+# full benchmark-shape parity (VERDICT round-1 item 8): padding/resize edge
+# behavior only bites at real sizes — one slow-marked, CI-run case per model
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_resnet18_parity_at_224(rng):
+    """ResNet-18 at the benchmark shape: fp32 jit-vs-oracle parity AND the
+    int8 path staying within the accuracy budget at full resolution."""
+    net = models.resnet18(num_classes=100)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    _parity(net, x)
+    ref = np.asarray(net.forward(x))
+    net.quantize("int8")
+    out = np.asarray(net.forward(x))
+    assert (out.argmax(1) == ref.argmax(1)).all()
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, f"int8@224 rel err {rel}"
+
+
+@pytest.mark.slow
+def test_unet_tiled_vs_whole_at_512(rng):
+    """UNet at the benchmark shape (512^2), tiled through the reference
+    blend semantics (util.py:291-348) vs one whole-image pass."""
+    from planer_tpu.utils.tile import tile
+    net = models.unet(in_ch=1, out_ch=2, base=16, depth=4)
+    img = rng.standard_normal((512, 512)).astype(np.float32)
+
+    def run(win2d):  # tile blends HW(,C) — channels last, like the reference
+        out = np.asarray(net(win2d[None, None].astype(np.float32)))[0]
+        return out.transpose(1, 2, 0)
+
+    whole = run(img)                      # (512, 512, 2)
+    tiled = tile(window=256, margin=64, glob=16)(run)(img)
+    assert tiled.shape == whole.shape
+    err = np.abs(tiled - whole)
+    scale = np.abs(whole).max() + 1e-9
+    # window seams truncate the receptive field; interiors must agree
+    assert np.median(err) / scale < 2e-3, float(np.median(err) / scale)
+    assert err.mean() / scale < 2e-2, float(err.mean() / scale)
+    # whole-image oracle parity at full size (jit vs numpy)
+    _parity(net, img[None, None], tol=5e-3)
+
+
+@pytest.mark.slow
+def test_yolov3_parity_at_416(rng):
+    """YOLO-v3 at the benchmark shape: head parity at 416^2 plus the full
+    detect pipeline (jit prefix + host-tail decode, score filter, NMS)
+    agreeing with detections computed from the numpy-oracle heads."""
+    from planer_tpu.models import yolo_post
+    net = models.yolov3(num_classes=4)
+    x = rng.standard_normal((1, 3, 416, 416)).astype(np.float32)
+    heads_jit = [np.asarray(h) for h in net.forward(x)]
+    heads_np = [np.asarray(h) for h in net.forward(x, engine="numpy")]
+    assert [h.shape for h in heads_jit] == [
+        (1, 27, 13, 13), (1, 27, 26, 26), (1, 27, 52, 52)]
+    for hj, hn in zip(heads_jit, heads_np):
+        rel = np.abs(hj - hn).max() / (np.abs(hn).max() + 1e-9)
+        assert rel < 1e-2, f"head rel err {rel}"
+
+    # full pipeline (host decode + score filter + NMS) driven by the jit
+    # heads vs the numpy-oracle heads: same boxes at IoU 0.9.  Random-weight
+    # heads at 416^2 saturate sigmoid/exp completely (|t| >> 20), so scale
+    # them into the linear regime first — the comparison still exercises
+    # decode + filter + NMS on the real jit-vs-oracle head deltas.
+    s = 2.0 / (np.percentile(np.abs(heads_np[0]), 99) + 1e-9)
+    heads_jit_s = tuple(h * s for h in heads_jit)
+    heads_np_s = tuple(h * s for h in heads_np)
+    dec = yolo_post.decode_heads(heads_np_s, img_size=416, num_classes=4)
+    sc = (dec[0, :, 4:5] * dec[0, :, 5:]).max(1)
+    sane = ((dec[0, :, 2] >= 2) & (dec[0, :, 3] >= 2)
+            & (dec[0, :, 2] <= 4 * 416) & (dec[0, :, 3] <= 4 * 416))
+    assert sane.sum() >= 100
+    conf = float(np.sort(sc[sane])[-100])
+    dets = yolo_post.detect(lambda _: heads_jit_s, x,
+                            conf_thresh=conf, num_classes=4)[0]
+    dets_np = yolo_post.detect(lambda _: heads_np_s, x,
+                               conf_thresh=conf, num_classes=4)[0]
+
+    def iou(a, b):
+        ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / max(ua, 1e-9)
+
+    assert len(dets_np) > 0  # random-weight YOLO still fires detections
+    matched = sum(
+        any(d[5] == e[5] and iou(d, e) >= 0.9 for e in dets_np)
+        for d in dets)
+    assert matched / max(len(dets), 1) >= 0.9, (len(dets), len(dets_np))
