@@ -924,3 +924,13 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
     Y = jnp.stack([o[0] for o in outs], axis=1)
     Yh = jnp.stack([o[1] for o in outs], axis=0)
     return Y, Yh
+
+
+def stage64(x, Ws, Bs, *bw, blocks=None):
+    """Fused ResNet entry stage (stem + maxpool + C=64 basic blocks) — the
+    hot 88% of the ResNet-18 step (experiments/prefix_profile_b64.json).
+    Routes to the Pallas kernel chain on TPU with int8 weights + calibrated
+    activation scales; decomposes to the exact replaced op chain elsewhere
+    (see ops/pallas/stage64.py)."""
+    from .pallas import stage64 as _st
+    return _st.stage64(x, Ws, Bs, *bw, blocks=blocks)

@@ -721,3 +721,20 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
             Y[t, di] = ht
         Yh[di] = ht
     return Y, Yh
+
+
+def stage64(x, Ws, Bs, *bw, blocks=None):
+    """Oracle for the fused ResNet entry stage (optimize.fuse_stage64):
+    exactly the op chain the fusion replaced — stem conv 7x7/2 + relu +
+    maxpool 3x3/2 + N x [conv3x3-relu-conv3x3-add-relu] at C=64.  Weights
+    arrive as the fp32 dequant view (quant.dequant_weights)."""
+    y = conv2d(x, Ws, Bs, strides=(2, 2), pads=(3, 3, 3, 3))
+    y = relu(y)
+    y = maxpool(y, w=(3, 3), pads=(1, 1, 1, 1), strides=(2, 2))
+    for i in range(0, len(bw), 4):
+        W1, B1, W2, B2 = bw[i:i + 4]
+        r = y
+        y = relu(conv2d(y, W1, B1, strides=(1, 1), pads=(1, 1, 1, 1)))
+        y = conv2d(y, W2, B2, strides=(1, 1), pads=(1, 1, 1, 1))
+        y = relu(add(y, r))
+    return y

@@ -185,6 +185,135 @@ def annotate_pool_impl(net) -> int:
     return annotated
 
 
+def _kw_eq(kwargs, key, want, default=None):
+    v = kwargs.get(key, default)
+    if v is None:
+        return want is None or tuple(want) == tuple(default or ())
+    try:
+        return tuple(int(i) for i in v) == tuple(want)
+    except TypeError:
+        return v == want
+
+
+def fuse_stage64(net) -> int:
+    """Fuse the ResNet entry stage — ``conv7x7/2 -> relu -> maxpool3/2`` plus
+    every following ``conv3x3-relu-conv3x3-add-relu`` basic block at C=64 —
+    into one ``stage64`` op, so the TPU path can run the whole stage in the
+    fused Pallas kernel chain (ops/pallas/stage64.py: the stage is ~88% of
+    the ResNet-18 step at batch 64, experiments/prefix_profile_b64.json).
+
+    Run AFTER :func:`fold_bn_into_conv` (pattern expects folded conv+bias)
+    and after calibration/quantization (the kernel needs the calibrated act
+    scales; the op itself is precision-agnostic — off-TPU it decomposes to
+    exactly the replaced chain).  Returns the number of stages fused.
+    """
+    graph: Graph = net.graph
+    layers = graph.layer_map()
+    inits = set(graph.init_names())
+    ishape = {n: tuple(s) for n, s, _ in graph.inits}
+    consumers = _consumer_count(graph)
+    flow = graph.flow
+
+    def single(i, op):
+        e = flow[i] if i < len(flow) else None
+        if e is None or len(e.layers) != 1 or layers[e.layers[0]].op != op:
+            return None
+        return e
+
+    def conv_of(i, cin, cout, k, stride, pad):
+        e = single(i, "conv")
+        if e is None or len(e.src) < 2:
+            return None
+        w = e.src[1]
+        if w not in inits or ishape.get(w) != (cout, cin, k, k):
+            return None
+        kw = layers[e.layers[0]].kwargs
+        if not (_kw_eq(kw, "strides", (stride, stride), (1, 1))
+                and _kw_eq(kw, "pads", (pad,) * 4, (0, 0, 0, 0))
+                and _kw_eq(kw, "dilations", (1, 1), (1, 1))
+                and int(kw.get("group", 1)) == 1
+                and not kw.get("auto_pad")):
+            return None
+        return e
+
+    fused = 0
+    i = 0
+    while i < len(flow):
+        e0 = conv_of(i, 3, 64, 7, 2, 3)
+        if e0 is None:
+            i += 1
+            continue
+        e1 = single(i + 1, "relu")
+        e2 = single(i + 2, "maxpool")
+        if (e1 is None or e2 is None
+                or e1.src != [e0.dst[0]] or e2.src[0] != e1.dst[0]
+                or consumers.get(e0.dst[0], 0) != 1
+                or consumers.get(e1.dst[0], 0) != 1):
+            i += 1
+            continue
+        pkw = layers[e2.layers[0]].kwargs
+        if not (_kw_eq(pkw, "w", (3, 3), (2, 2))
+                and _kw_eq(pkw, "strides", (2, 2), (2, 2))
+                and _kw_eq(pkw, "pads", (1, 1, 1, 1), (0, 0, 0, 0))
+                and int(pkw.get("ceil_mode", 0) or 0) == 0
+                and not pkw.get("auto_pad")):
+            i += 1
+            continue
+        # greedily match basic blocks
+        src = [e0.src[0], e0.src[1],
+               e0.src[2] if len(e0.src) > 2 else "None"]
+        y = e2.dst[0]
+        j = i + 3
+        nblocks = 0
+        drop = [i, i + 1, i + 2]
+        while True:
+            c1 = conv_of(j, 64, 64, 3, 1, 1)
+            r1 = single(j + 1, "relu")
+            c2 = conv_of(j + 2, 64, 64, 3, 1, 1)
+            ad = single(j + 3, "add")
+            r2 = single(j + 4, "relu")
+            if None in (c1, r1, c2, ad, r2):
+                break
+            if not (c1.src[0] == y and r1.src == [c1.dst[0]]
+                    and c2.src[0] == r1.dst[0]
+                    and sorted(ad.src) == sorted([c2.dst[0], y])
+                    and r2.src == [ad.dst[0]]
+                    and consumers.get(y, 0) == 2
+                    and consumers.get(c1.dst[0], 0) == 1
+                    and consumers.get(r1.dst[0], 0) == 1
+                    and consumers.get(c2.dst[0], 0) == 1
+                    and consumers.get(ad.dst[0], 0) == 1):
+                break
+            src += [c1.src[1], c1.src[2] if len(c1.src) > 2 else "None",
+                    c2.src[1], c2.src[2] if len(c2.src) > 2 else "None"]
+            drop += [j, j + 1, j + 2, j + 3, j + 4]
+            y = r2.dst[0]
+            nblocks += 1
+            j += 5
+        if nblocks == 0:
+            i += 1
+            continue
+        from .ir import Layer
+        name = f"stage64_{fused}"
+        graph.layers.append(Layer(name, "stage64", {"blocks": nblocks}))
+        fe = FlowEdge(src, [name], [y])
+        dropped = set(drop)
+        dropped_layers = {flow[k].layers[0] for k in dropped}
+        graph.flow = flow = (flow[:i] + [fe]
+                             + [e for k, e in enumerate(flow) if k > i
+                                and k not in dropped])
+        graph.layers = [l for l in graph.layers
+                        if l.name not in dropped_layers]
+        layers = graph.layer_map()
+        consumers = _consumer_count(graph)
+        fused += 1
+        i += 1
+    if fused:
+        graph.validate()
+        net._invalidate()
+    return fused
+
+
 def optimize(net) -> dict:
     """Run all IR optimization passes; returns per-pass counts."""
     report = {"fold_bn_into_conv": fold_bn_into_conv(net),

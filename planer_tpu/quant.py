@@ -33,7 +33,14 @@ _QUANT_OPS = {
     "dense": 0,          # (O, I) — stored transposed by the converter
     "convtranspose": 1,  # (I, O/g, kh, kw)
     "matmul": -1,        # (..., I, O): per-column scales on the last axis
+    "stage64": 0,        # fused entry stage: conv weights at odd positions
 }
+
+
+def _is_weight_pos(op: str, p: int) -> bool:
+    if op == "stage64":
+        return p % 2 == 1    # [x, Ws, Bs, W1, B1, W2, B2, ...]
+    return p == 1
 
 _MODES = {
     "int8": (np.int8, 127.0),
@@ -226,7 +233,8 @@ def quantize_net(net, mode: str = "int8", skip: tuple = (),
             continue
         # quantize only weights used EXCLUSIVELY as the weight operand (pos 1)
         # of GEMM-shaped ops — anything else keeps full precision
-        if not ulist or not all(op in _QUANT_OPS and p == 1 for op, p in ulist):
+        if not ulist or not all(op in _QUANT_OPS and _is_weight_pos(op, p)
+                                for op, p in ulist):
             continue
         i = idx[name]
         w = net.weights[i]

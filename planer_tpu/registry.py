@@ -57,6 +57,10 @@ _reg("averagepool", nops.averagepool, jops.averagepool)
 _reg("gap", nops.global_average_pool, jops.global_average_pool)
 _reg("lstm", nops.lstm, jops.lstm, multi_output=True)
 _reg("gru", nops.gru, jops.gru, multi_output=True)
+# fused ResNet entry stage (emitted by optimize.fuse_stage64, never by the
+# ONNX frontend) — stem conv+relu+maxpool + N basic blocks in one op so the
+# TPU path can run the whole stage in fused Pallas kernels
+_reg("stage64", nops.stage64, jops.stage64)
 
 # activations / elementwise
 _reg("relu", nops.relu, jops.relu)

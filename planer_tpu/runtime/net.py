@@ -73,12 +73,19 @@ class Net:
         return _opt(self)
 
     def quantize(self, mode: str = "int8", skip: tuple = (),
-                 activations: str | None = None):
+                 activations: str | None = None, fuse: bool | None = None):
         """Weight quantization with per-output-channel scales.
         ``activations='dynamic'`` also runs W8A8 convs on profitable layers
-        (s8 MXU path, 2x bf16 peak)."""
+        (s8 MXU path, 2x bf16 peak).  With ``activations='static'`` (scales
+        from a prior calibrate_act_scales run) the ResNet entry stage is also
+        fused into the Pallas kernel chain (``fuse=False`` to disable)."""
         from ..quant import quantize_net
         quantize_net(self, mode=mode, skip=skip, activations=activations)
+        if fuse is None:
+            fuse = activations == "static" and mode == "int8"
+        if fuse:
+            from ..optimize import fuse_stage64
+            fuse_stage64(self)
         self._invalidate()
         return self
 
