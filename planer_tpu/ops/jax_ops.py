@@ -356,16 +356,40 @@ def global_average_pool(x):
 # recurrent
 # --------------------------------------------------------------------------
 
+def _seq_plan(L, d, sequence_lens):
+    """Per-direction ragged-sequence plan (ONNX ``sequence_lens`` semantics:
+    state frozen past each sequence's length, padded outputs zero, reverse
+    direction reversed WITHIN each sequence's valid region).
+
+    Returns ``(reorder, mask)``: ``reorder(xs)`` maps the padded batch into
+    scan order (an involution gather for reverse — apply it again to restore
+    output order), ``mask`` is the (L, N) validity of each scan step.
+    Reference accepts-and-ignores this input (planer/layer.py:36-42); here
+    it is honored."""
+    if sequence_lens is None:
+        if d == 1:
+            return (lambda a: a), None
+        return (lambda a: a[::-1]), None
+    lens = jnp.asarray(sequence_lens, jnp.int32).reshape(-1)   # (N,)
+    steps = jnp.arange(L, dtype=jnp.int32)
+    mask = steps[:, None] < lens[None, :]                       # (L, N)
+    if d == 1:
+        return (lambda a: a), mask
+    idx = jnp.clip(lens[None, :] - 1 - steps[:, None], 0)       # (L, N)
+
+    def reorder(a):
+        return jnp.take_along_axis(a, idx[:, :, None], axis=0)
+    return reorder, mask
+
+
 def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
          hidden_size=None, direction="forward"):
     """ONNX LSTM via lax.scan over a fused cell (iofc gate order).
 
     The per-timestep GEMMs (X@W^T precomputed for the whole sequence; h@R^T
     in the scan body) hit the MXU; the reference loops timesteps in Python
-    (util.py:102-119)."""
-    if sequence_lens is not None:
-        raise NotImplementedError(
-            "LSTM with per-sequence lengths is not supported yet")
+    (util.py:102-119).  ``sequence_lens`` is honored via a mask in the scan
+    (the reference ignores it, planer/layer.py:36-42)."""
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]
@@ -378,23 +402,30 @@ def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
         # hoist the input projection out of the scan: one big MXU matmul
         xw = jnp.einsum("lnd,gd->lng", X, w,
                         preferred_element_type=jnp.float32).astype(X.dtype)
-        xs = xw if d == 1 else xw[::-1]
+        reorder, mask = _seq_plan(L, d, sequence_lens)
+        xs = reorder(xw)
 
-        def cell(carry, xt):
+        def cell(carry, step):
             ht, ct = carry
+            xt, m = step
             gates = xt + jnp.matmul(ht, r.T,
                                     preferred_element_type=jnp.float32
                                     ).astype(X.dtype) + b
             i, o, f, c = jnp.split(gates, 4, axis=-1)
             i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
             c = jnp.tanh(c)
-            ct = f * ct + i * c
-            ht = o * jnp.tanh(ct)
-            return (ht, ct), ht
+            cn = f * ct + i * c
+            hn = o * jnp.tanh(cn)
+            if m is not None:      # freeze state past each sequence's length
+                hn = jnp.where(m[:, None], hn, ht)
+                cn = jnp.where(m[:, None], cn, ct)
+            return (hn, cn), hn
 
-        (hT, cT), ys = lax.scan(cell, (h0, c0), xs)
-        if d == -1:
-            ys = ys[::-1]
+        (hT, cT), ys = lax.scan(cell, (h0, c0), (xs, mask))
+        ys = reorder(ys)
+        if mask is not None:       # padded steps emit zeros (ONNX semantics)
+            _, valid = _seq_plan(L, 1, sequence_lens)
+            ys = jnp.where(valid[:, :, None], ys, jnp.zeros((), ys.dtype))
         return ys, hT, cT
 
     outs = [run_dir(di, d) for di, d in enumerate(dirs)]
@@ -876,10 +907,8 @@ def sum_variadic(*xs):
 def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
         hidden_size=None, direction="forward", linear_before_reset=0):
     """ONNX GRU via lax.scan (zrh gate order); input projections hoisted to
-    one MXU matmul over the whole sequence."""
-    if sequence_lens is not None:
-        raise NotImplementedError(
-            "GRU with per-sequence lengths is not supported yet")
+    one MXU matmul over the whole sequence.  ``sequence_lens`` honored via a
+    scan mask (see :func:`_seq_plan`)."""
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]
@@ -892,11 +921,13 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
         xw = (jnp.einsum("lnd,gd->lng", X, w,
                          preferred_element_type=jnp.float32).astype(X.dtype)
               + wb)
-        xs = xw if d == 1 else xw[::-1]
+        reorder, mask = _seq_plan(L, d, sequence_lens)
+        xs = reorder(xw)
         rz, rr, rh = jnp.split(r, 3)
         rbz, rbr, rbh = jnp.split(rb, 3)
 
-        def cell(ht, xt):
+        def cell(ht, step):
+            xt, m = step
             xz, xr, xh = jnp.split(xt, 3, axis=-1)
             z = jax.nn.sigmoid(xz + jnp.matmul(
                 ht, rz.T, preferred_element_type=jnp.float32
@@ -912,12 +943,16 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
                 h = jnp.tanh(xh + jnp.matmul(
                     rg * ht, rh.T, preferred_element_type=jnp.float32
                 ).astype(X.dtype) + rbh)
-            ht = (1 - z) * h + z * ht
-            return ht, ht
+            hn = (1 - z) * h + z * ht
+            if m is not None:
+                hn = jnp.where(m[:, None], hn, ht)
+            return hn, hn
 
-        hT, ys = lax.scan(cell, h0, xs)
-        if d == -1:
-            ys = ys[::-1]
+        hT, ys = lax.scan(cell, h0, (xs, mask))
+        ys = reorder(ys)
+        if mask is not None:
+            _, valid = _seq_plan(L, 1, sequence_lens)
+            ys = jnp.where(valid[:, :, None], ys, jnp.zeros((), ys.dtype))
         return ys, hT
 
     outs = [run_dir(di, d) for di, d in enumerate(dirs)]

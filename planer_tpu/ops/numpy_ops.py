@@ -173,15 +173,31 @@ def global_average_pool(x):
 # recurrent
 # --------------------------------------------------------------------------
 
+def _seq_steps(L, N, d, sequence_lens):
+    """Ragged-sequence iteration plan (ONNX ``sequence_lens``): yields
+    (emit_t, read_t, valid) per scan step — ``read_t``/``emit_t`` are (N,)
+    per-sequence time indices (reverse runs WITHIN each valid region),
+    ``valid`` the (N,) bool mask of live sequences.  Mirrors jax_ops._seq_plan
+    exactly (CLAUDE.md lockstep invariant)."""
+    if sequence_lens is None:
+        order = range(L) if d == 1 else range(L - 1, -1, -1)
+        for t in order:
+            ts = np.full(N, t)
+            yield ts, ts, np.ones(N, bool)
+        return
+    lens = np.asarray(sequence_lens, np.int64).reshape(-1)
+    for s in range(L):
+        valid = s < lens
+        t = np.full(N, s) if d == 1 else np.clip(lens - 1 - s, 0, None)
+        yield t, t, valid
+
+
 def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
          hidden_size=None, direction="forward"):
     """ONNX LSTM (iofc gate order).  X: (L, N, D); W: (dirs, 4H, D);
     R: (dirs, 4H, H); B: (dirs, 8H).  Returns (Y, Y_h, Y_c) with
-    Y: (L, dirs, N, H)."""
-    if sequence_lens is not None:
-        raise NotImplementedError(
-            "LSTM with per-sequence lengths is not supported yet — pad to a "
-            "common length or split the batch")
+    Y: (L, dirs, N, H).  ``sequence_lens`` honored (state frozen past each
+    length, padded outputs zero; the reference ignores it, layer.py:36-42)."""
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]
@@ -193,19 +209,22 @@ def lstm(X, W, R, B=None, sequence_lens=None, initial_h=None, initial_c=None,
     def sigmoid(v):
         return 1.0 / (1.0 + np.exp(-v))
 
+    rows = np.arange(N)
     for di, d in enumerate(dirs):
         w, r = W[di], R[di]
         b = (B[di][: 4 * H] + B[di][4 * H:]) if B is not None else 0.0
         ht = initial_h[di] if initial_h is not None else np.zeros((N, H), X.dtype)
         ct = initial_c[di] if initial_c is not None else np.zeros((N, H), X.dtype)
-        steps = range(L) if d == 1 else range(L - 1, -1, -1)
-        for t in steps:
-            gates = X[t] @ w.T + ht @ r.T + b
+        for emit_t, read_t, valid in _seq_steps(L, N, d, sequence_lens):
+            xt = X[read_t, rows]
+            gates = xt @ w.T + ht @ r.T + b
             i, o, f, c = np.split(gates, 4, axis=-1)
             i, o, f, c = sigmoid(i), sigmoid(o), sigmoid(f), np.tanh(c)
-            ct = f * ct + i * c
-            ht = o * np.tanh(ct)
-            Y[t, di] = ht
+            cn = f * ct + i * c
+            hn = o * np.tanh(cn)
+            ht = np.where(valid[:, None], hn, ht)
+            ct = np.where(valid[:, None], cn, ct)
+            Y[emit_t[valid], di, rows[valid]] = ht[valid]
         Yh[di], Yc[di] = ht, ct
     return Y, Yh, Yc
 
@@ -685,11 +704,8 @@ def sum_variadic(*xs):
 def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
         hidden_size=None, direction="forward", linear_before_reset=0):
     """ONNX GRU (zrh gate order).  X: (L, N, D); W: (dirs, 3H, D);
-    R: (dirs, 3H, H); B: (dirs, 6H).  Returns (Y, Y_h)."""
-    if sequence_lens is not None:
-        raise NotImplementedError(
-            "GRU with per-sequence lengths is not supported yet — pad to a "
-            "common length or split the batch")
+    R: (dirs, 3H, H); B: (dirs, 6H).  Returns (Y, Y_h).  ``sequence_lens``
+    honored (see :func:`_seq_steps`)."""
     dirs = {"forward": [1], "reverse": [-1], "bidirectional": [1, -1]}[direction]
     L, N, D = X.shape
     H = R.shape[-1]
@@ -700,25 +716,27 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
     def sigmoid(v):
         return 1.0 / (1.0 + np.exp(-v))
 
+    rows = np.arange(N)
     for di, d in enumerate(dirs):
         w, r = W[di], R[di]
         wb = B[di][:3 * H] if B is not None else np.zeros(3 * H, X.dtype)
         rb = B[di][3 * H:] if B is not None else np.zeros(3 * H, X.dtype)
         ht = initial_h[di] if initial_h is not None else np.zeros((N, H), X.dtype)
-        steps = range(L) if d == 1 else range(L - 1, -1, -1)
         wz, wr_, wh = np.split(w, 3)
         rz, rr, rh = np.split(r, 3)
         wbz, wbr, wbh = np.split(wb, 3)
         rbz, rbr, rbh = np.split(rb, 3)
-        for t in steps:
-            z = sigmoid(X[t] @ wz.T + ht @ rz.T + wbz + rbz)
-            rg = sigmoid(X[t] @ wr_.T + ht @ rr.T + wbr + rbr)
+        for emit_t, read_t, valid in _seq_steps(L, N, d, sequence_lens):
+            xt = X[read_t, rows]
+            z = sigmoid(xt @ wz.T + ht @ rz.T + wbz + rbz)
+            rg = sigmoid(xt @ wr_.T + ht @ rr.T + wbr + rbr)
             if linear_before_reset:
-                h = np.tanh(X[t] @ wh.T + wbh + rg * (ht @ rh.T + rbh))
+                h = np.tanh(xt @ wh.T + wbh + rg * (ht @ rh.T + rbh))
             else:
-                h = np.tanh(X[t] @ wh.T + wbh + (rg * ht) @ rh.T + rbh)
-            ht = (1 - z) * h + z * ht
-            Y[t, di] = ht
+                h = np.tanh(xt @ wh.T + wbh + (rg * ht) @ rh.T + rbh)
+            hn = (1 - z) * h + z * ht
+            ht = np.where(valid[:, None], hn, ht)
+            Y[emit_t[valid], di, rows[valid]] = ht[valid]
         Yh[di] = ht
     return Y, Yh
 
