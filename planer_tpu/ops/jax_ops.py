@@ -961,11 +961,14 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
     return Y, Yh
 
 
-def stage64(x, Ws, Bs, *bw, blocks=None):
+def stage64(x, Ws, Bs, *bw, blocks=None, force_decomposed=False):
     """Fused ResNet entry stage (stem + maxpool + C=64 basic blocks) — the
     hot 88% of the ResNet-18 step (experiments/prefix_profile_b64.json).
     Routes to the Pallas kernel chain on TPU with int8 weights + calibrated
     activation scales; decomposes to the exact replaced op chain elsewhere
-    (see ops/pallas/stage64.py)."""
+    (see ops/pallas/stage64.py).  ``force_decomposed`` (injected by
+    parallel.sharding via TracedProgram.op_overrides) keeps the op out of
+    Pallas under GSPMD, which cannot partition a pallas_call."""
     from .pallas import stage64 as _st
-    return _st.stage64(x, Ws, Bs, *bw, blocks=blocks)
+    return _st.stage64(x, Ws, Bs, *bw, blocks=blocks,
+                       force_decomposed=force_decomposed)

@@ -50,8 +50,9 @@ from ..qtypes import QTensor
 __all__ = ["stage64", "decomposed", "PALLAS"]
 
 # module switch: "auto" = pallas on TPU, decomposed elsewhere; False = always
-# decomposed (parallel/sharding sets this off — pallas_call does not GSPMD-
-# partition); True = force (interpret off-TPU is handled by the caller)
+# decomposed; True = force (interpret off-TPU is handled by the caller).
+# Sharded programs do NOT rely on this global: parallel.sharding injects
+# force_decomposed=True per-program via TracedProgram.op_overrides.
 PALLAS = "auto"
 
 # stage geometry (ResNet @224): pool/block grid R x R, rows padded to RS cols
@@ -322,7 +323,7 @@ def decomposed(x, Ws, Bs, *bw, jops=None):
 
 def _eligible(x, Ws, bw):
     if not (isinstance(Ws, QTensor) and Ws.act_scale is not None
-            and Ws.q.dtype == jnp.int8):
+            and Ws.q.dtype == jnp.int8 and Ws.q.shape == (64, 3, 7, 7)):
         return False
     if x.ndim != 4 or x.shape[1:] != (3, 224, 224):
         return False
@@ -338,12 +339,17 @@ def _eligible(x, Ws, bw):
     return True
 
 
-def stage64(x, Ws, Bs, *bw, blocks=None, interpret=None):
+def stage64(x, Ws, Bs, *bw, blocks=None, interpret=None,
+            force_decomposed=False):
     """Fused ResNet entry stage (stem + pool + C=64 basic blocks).
 
     Positional inputs: x, stem W, stem B, then (W1, B1, W2, B2) per block.
     ``blocks`` (IR kwarg) is informational; the weight count is the truth.
+    ``force_decomposed`` is how parallel.sharding keeps the pallas_call out
+    of GSPMD-partitioned programs (it cannot be auto-partitioned).
     """
+    if force_decomposed:
+        return decomposed(x, Ws, Bs, *bw)
     use = PALLAS
     if use == "auto":
         try:

@@ -26,6 +26,12 @@ from ..ops.qtypes import QTensor
 
 __all__ = ["make_mesh", "param_shardings", "input_sharding", "shard_program"]
 
+# fused Pallas ops that must lower to their decomposed op chain inside a
+# GSPMD-partitioned program (pallas_call cannot be auto-partitioned); the
+# tracer injects this kwarg per application (TracedProgram.op_overrides)
+FUSED_OPS = ("stage64", "stagen")
+FUSED_OVERRIDES = {op: {"force_decomposed": True} for op in FUSED_OPS}
+
 
 def make_mesh(shape=None, axis_names=("data", "model"), devices=None) -> Mesh:
     """Build a device mesh.  ``shape=None`` puts all devices on ``data``."""
@@ -69,6 +75,17 @@ def _spec_for(name: str, leaf, op: str, pos: int, tp_axis: str) -> P:
         # folded affine (1, C, 1, 1): channel axis follows conv output
         if nd == 4 and shape[0] == 1:
             return axis_spec(1)
+    elif op in FUSED_OPS:
+        # fused-stage operands: [x, Ws, Bs, (W1, B1, W2, B2) x blocks] —
+        # every weight is an OIHW conv kernel (shard axis 0) and every bias
+        # a (O,)/(1,O,1,1)-shaped vector following the conv's output channels
+        if pos >= 1:
+            if nd == 4 and shape[0] > 1:
+                return axis_spec(0)
+            if nd == 4 and shape[0] == 1:
+                return axis_spec(1)
+            if nd == 1:
+                return axis_spec(0)
     return P(*none)
 
 
@@ -139,6 +156,7 @@ def shard_program(net, mesh: Mesh, tp_axis: str = "model",
                  for _ in net.graph.inputs)
     prog._jit_kwargs = dict(prog._jit_kwargs,
                             in_shardings=(pshard, *xshs))
+    prog.op_overrides.update(FUSED_OVERRIDES)
     prog._cache.clear()
     net._program = prog
     return prog

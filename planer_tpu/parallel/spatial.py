@@ -53,6 +53,8 @@ def shard_spatial(net, mesh: Mesh, spatial_axis: str = "model",
     xsh = NamedSharding(mesh, xspec)
     prog._jit_kwargs = dict(prog._jit_kwargs,
                             in_shardings=(replicated, xsh))
+    from .sharding import FUSED_OVERRIDES
+    prog.op_overrides.update(FUSED_OVERRIDES)
     prog._cache.clear()
     net._program = prog
     return prog

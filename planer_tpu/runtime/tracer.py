@@ -144,6 +144,11 @@ class TracedProgram:
         self.graph = graph
         self.weights = weights
         self.compute_dtype = compute_dtype  # e.g. 'bfloat16' for TPU serving
+        # per-opcode kwarg injection at trace time, e.g.
+        # {"stage64": {"force_decomposed": True}} — set by parallel.sharding
+        # so fused Pallas ops lower to their op-chain under GSPMD (pallas_call
+        # does not GSPMD-partition); clear _cache after changing.
+        self.op_overrides: dict[str, dict] = {}
         self.plan = analyze(graph)
         self._layers = graph.layer_map()
         self._materialize = weight_materializer
@@ -185,6 +190,7 @@ class TracedProgram:
         name_to_w = dict(zip(graph.init_names(), self.weights))
         needs = self._suffix_needs()
         materialize = self._materialize
+        overrides = self.op_overrides
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
         def cast_in(v):
@@ -236,8 +242,12 @@ class TracedProgram:
                         args.append(env[s])
                 # named_scope: IR layer names show up in profiler traces and
                 # HLO metadata (profiling parity with net.py:56-65 debug)
+                kw = layer.kwargs
+                ov = overrides.get(layer.op)
+                if ov:
+                    kw = {**kw, **ov}
                 with jax.named_scope(lname):
-                    out = spec.jax_fn(*args, **layer.kwargs)
+                    out = spec.jax_fn(*args, **kw)
                 _store(env, senv, edge, out)
 
             # side channels captured at trace time

@@ -70,3 +70,61 @@ def test_quantized_sharded(rng, devices):
     shard_program(net, mesh)
     out = np.asarray(net.forward(x))
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_stage64_defuses_under_sharding(rng, devices):
+    """VERDICT r2 weak #2: shard_program of a fused+quantized net must lower
+    stage64 to its decomposed op chain (pallas_call cannot be GSPMD
+    partitioned) and match the unsharded output.  PALLAS is forced on so
+    that, without the op_overrides injection, tracing would attempt the
+    pallas path and fail on the CPU backend."""
+    from planer_tpu.models import eval as ev
+    from planer_tpu.ops.pallas import stage64 as st
+    from planer_tpu.quant import calibrate_act_scales
+
+    net = models.resnet18()
+    net.optimize()
+    calibrate_act_scales(net, ev.synthetic_images(2, (3, 224, 224), seed=3,
+                                                  batch=1))
+    net.quantize("int8", activations="static")   # auto-fuses stage64
+    assert any(l.op == "stage64" for l in net.graph.layers)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    ref = np.asarray(net.forward(x))
+
+    mesh = make_mesh((2, 4), ("data", "model"), devices=devices)
+    prog = shard_program(net, mesh)
+    assert prog.op_overrides["stage64"] == {"force_decomposed": True}
+    old = st.PALLAS
+    st.PALLAS = True
+    try:
+        out = np.asarray(net.forward(x))
+    finally:
+        st.PALLAS = old
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_stage64_weight_shardings(devices):
+    """sharding._spec_for knows the fused-stage weight positions (stem W +
+    block convs on output channels) instead of silently replicating."""
+    from planer_tpu.models import eval as ev
+    from planer_tpu.quant import calibrate_act_scales, make_quant_program
+
+    net = models.resnet18()
+    net.optimize()
+    calibrate_act_scales(net, ev.synthetic_images(2, (3, 224, 224), seed=3,
+                                                  batch=1))
+    net.quantize("int8", activations="static")
+    mesh = make_mesh((2, 4), ("data", "model"), devices=devices)
+    prog = make_quant_program(net.graph, net.weights)
+    shards = param_shardings(net.graph, prog.params, mesh)
+    stage_w = [n for n, (op, p) in
+               {n: u[0] for n, u in net.graph.weight_users().items()}.items()
+               if op == "stage64" and p >= 1]
+    convs = [n for n in stage_w
+             if getattr(prog.params[n], "q", prog.params[n]).ndim == 4
+             and getattr(prog.params[n], "q", prog.params[n]).shape[0] > 1]
+    assert convs, "fused stage should own conv weights"
+    for n in convs:
+        sh = shards[n]
+        spec = sh.q.spec if hasattr(sh, "q") else sh.spec
+        assert spec[0] == "model", f"{n} not output-channel sharded: {spec}"
