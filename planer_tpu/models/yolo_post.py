@@ -81,12 +81,16 @@ def nms(boxes, scores, iou_thresh: float = 0.45, top_k: int = 300):
 
 
 def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
-           num_classes: int | None = None, min_wh: float = 2.0):
+           num_classes: int | None = None, min_wh: float = 2.0,
+           return_candidates: bool = False):
     """Full pipeline: jitted forward -> host decode -> per-class NMS.
 
     ``img``: (N, 3, S, S) float32.  Returns a list (per image) of
     (x1, y1, x2, y2, score, class_id) float arrays.  Boxes smaller than
     ``min_wh`` pixels are dropped and coordinates clipped to the image.
+    ``return_candidates``: also return the per-image PRE-NMS candidate
+    arrays (same 6-column layout) — used by eval.detection_agreement's
+    NMS near-tie margin filter.
     """
     size = img.shape[-1]
     heads = net(img)
@@ -97,6 +101,7 @@ def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
         assert dec.ndim == 3, (
             f"expected decoded (N, boxes, 5+C) output, got shape {dec.shape}")
     results = []
+    cands = []
     from .. import native
     for bi in range(dec.shape[0]):
         d = dec[bi]
@@ -113,6 +118,22 @@ def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
         ok = (d[:, 2] >= min_wh) & (d[:, 3] >= min_wh) \
             & (d[:, 2] <= 4 * size) & (d[:, 3] <= 4 * size)
         d, cls_id, cls_sc = d[ok], cls_id[ok], cls_sc[ok]
+        # runner-up class score per candidate (class-flip stability signal)
+        if d.shape[1] >= 7:  # >= 2 classes
+            sc_all = d[:, 4:5] * d[:, 5:]
+            s2_all = np.partition(sc_all, -2, axis=1)[:, -2] if len(d) \
+                else np.zeros(0, np.float32)
+        else:
+            s2_all = np.zeros(len(d), np.float32)
+        if return_candidates:
+            cx1 = np.clip(d[:, 0] - d[:, 2] / 2, 0, size)
+            cy1 = np.clip(d[:, 1] - d[:, 3] / 2, 0, size)
+            cx2 = np.clip(d[:, 0] + d[:, 2] / 2, 0, size)
+            cy2 = np.clip(d[:, 1] + d[:, 3] / 2, 0, size)
+            cands.append(np.stack(
+                [cx1, cy1, cx2, cy2, cls_sc,
+                 cls_id.astype(np.float32), s2_all], 1) if len(d)
+                else np.zeros((0, 7), np.float32))
         out = []
         for c in np.unique(cls_id):
             mc = cls_id == c
@@ -123,8 +144,14 @@ def detect(net, img, conf_thresh: float = 0.25, iou_thresh: float = 0.45,
             y1 = np.clip(bx[:, 1] - bx[:, 3] / 2, 0, size)
             x2 = np.clip(bx[:, 0] + bx[:, 2] / 2, 0, size)
             y2 = np.clip(bx[:, 1] + bx[:, 3] / 2, 0, size)
-            out.append(np.stack([x1, y1, x2, y2, sc,
-                                 np.full_like(sc, c, dtype=np.float32)], 1))
+            cols = [x1, y1, x2, y2, sc,
+                    np.full_like(sc, c, dtype=np.float32)]
+            if return_candidates:
+                cols.append(s2_all[mc][keep])
+            out.append(np.stack(cols, 1))
+        ncol = 7 if return_candidates else 6
         results.append(np.concatenate(out, 0) if out
-                       else np.zeros((0, 6), np.float32))
+                       else np.zeros((0, ncol), np.float32))
+    if return_candidates:
+        return results, cands
     return results

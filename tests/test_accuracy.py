@@ -113,19 +113,47 @@ def _tame_heads(net, f=0.02):
 
 
 def test_detection_agreement_quantized():
-    """YOLO mAP-proxy: quantized-vs-fp32 detection agreement.
+    """YOLO mAP-proxy: quantized-vs-fp32 detection agreement at >= 0.95.
 
     On untrained weights every grid cell emits a near-identical box with
-    near-tied scores, so NMS tie-breaking flips a fraction of picks under
-    any perturbation — f1 ~0.86 is that instability, not quantization
-    damage (the same harness run with trained weights measures the real
-    <= 0.5 mAP budget; self-agreement is asserted to be exactly 1.0)."""
+    near-tied scores, so NMS tie-breaking flips picks under any epsilon
+    perturbation.  ``min_margin`` drops each net's own unstable picks
+    (threshold-margin, class near-tie, NMS near-tie — eval._stable_mask)
+    and matches against the counterpart's pre-NMS candidate field, so the
+    bar carries statistical meaning (VERDICT r2 weak #6): the negative
+    control below shows real quantization-scale damage still fails hard
+    (f1 ~0.60) while int8 passes >= 0.95."""
+    kw = dict(n=4, size=256, conf_thresh=0.25, min_margin=0.05,
+              hysteresis=0.7, iou_hysteresis=0.7)
     fp = _tame_heads(models.yolov3(num_classes=8))
     q = _tame_heads(models.yolov3(num_classes=8))
     q.optimize()
     q.quantize("int8")
-    r = ev.detection_agreement(fp, q, n=4, size=256, conf_thresh=0.25)
+    r = ev.detection_agreement(fp, q, **kw)
     assert r["tp"] + r["fn"] > 200, f"too few detections to judge: {r}"
-    assert r["f1"] >= 0.8, r
-    self_r = ev.detection_agreement(fp, fp, n=2, size=256, conf_thresh=0.25)
+    assert r["f1"] >= 0.95, r
+    self_r = ev.detection_agreement(fp, fp, n=2, size=256, conf_thresh=0.25,
+                                    min_margin=0.05, hysteresis=0.7,
+                                    iou_hysteresis=0.7)
     assert self_r["f1"] == 1.0, self_r
+
+
+def test_detection_agreement_negative_control():
+    """The margin-filtered metric must still CATCH real damage: 15%
+    multiplicative weight noise on the detection heads (far beyond any int8
+    quantization error) must fail the 0.95 bar decisively."""
+    fp = _tame_heads(models.yolov3(num_classes=8))
+    bad = _tame_heads(models.yolov3(num_classes=8))
+    rng = np.random.default_rng(7)
+    idx = bad.graph.init_index()
+    for name, i in idx.items():
+        if name.startswith("det") and name.endswith(".w"):
+            w = bad.weights[i]
+            bad.weights[i] = (
+                w * (1 + 0.15 * rng.standard_normal(w.shape))
+            ).astype(np.float32)
+    bad._invalidate()
+    r = ev.detection_agreement(fp, bad, n=4, size=256, conf_thresh=0.25,
+                               min_margin=0.05, hysteresis=0.7,
+                               iou_hysteresis=0.7)
+    assert r["f1"] < 0.8, f"metric failed to catch 15% weight noise: {r}"
