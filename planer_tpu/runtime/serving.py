@@ -93,6 +93,7 @@ class ServingEngine:
                 for b in hw_buckets))
         self.pad_mode = pad_mode
         self.crop_outputs = crop_outputs
+        self._sig_cache: dict = {}   # example shape -> per-output (ky, kx)
         self.max_delay = max_delay_ms / 1e3
         self.stats_data = ServingStats()
         self._q: queue.Queue = queue.Queue()
@@ -196,18 +197,70 @@ class ServingEngine:
             return np.pad(x, cfg, mode="constant")
         return np.pad(x, cfg, mode=self.pad_mode)
 
-    def _crop_output(self, o: np.ndarray, orig_hw, padded_hw):
+    def _spatial_signature(self, example_shape: tuple):
+        """Positive which-outputs-are-spatial signal (VERDICT r2 weak #7:
+        the shape-ratio guess could crop unrelated trailing dims).
+
+        For a Net, the program is traced — `jax.eval_shape`, no XLA compile —
+        at the serve H x W and at H+64 x W+64; an output whose trailing dims
+        scale exactly proportionally with the input is spatially mapped with
+        that factor.  Outputs produced by a host tail (data-dependent, e.g.
+        box lists after NMS) are never spatial planes -> never cropped.
+        Returns a list of (ky, kx)|None per output, or None when no
+        signature can be derived (bare callable) -> ratio heuristic."""
+        if example_shape in self._sig_cache:
+            return self._sig_cache[example_shape]
+        sig = None
+        prog = getattr(self.net, "program", None)
+        try:
+            if prog is not None and len(example_shape) >= 2:
+                if prog.plan.cut < len(prog.graph.flow):
+                    sig = "host_tail"      # outputs come from the host tail
+                else:
+                    import jax
+                    fn, _ = prog._build_fn({}, [])
+                    h, w = example_shape[-2], example_shape[-1]
+
+                    def shapes(hh, ww):
+                        spec = jax.ShapeDtypeStruct(
+                            (1,) + tuple(example_shape[:-2]) + (hh, ww),
+                            np.float32)
+                        outs = jax.eval_shape(fn, prog.params, spec)
+                        return [tuple(o.shape) for o in jax.tree.leaves(outs)]
+
+                    s1 = shapes(h, w)
+                    s2 = shapes(h + 64, w + 64)
+                    sig = []
+                    for a, b in zip(s1, s2):
+                        if (len(a) >= 2 and len(b) == len(a)
+                                and a[-2] * (h + 64) == b[-2] * h
+                                and a[-1] * (w + 64) == b[-1] * w
+                                and a[-2] > 0 and a[-1] > 0):
+                            sig.append((a[-2] / h, a[-1] / w))
+                        else:
+                            sig.append(None)
+        except Exception:
+            sig = None                     # tracing failed -> heuristic
+        self._sig_cache[example_shape] = sig
+        return sig
+
+    def _crop_output(self, o: np.ndarray, orig_hw, padded_hw, sig_i="auto"):
         """Crop a spatially-mapped output back to the request's scale."""
         if (not self.crop_outputs or o.ndim < 2 or orig_hw == padded_hw):
             return o
-        ky = o.shape[-2] / padded_hw[0]
-        kx = o.shape[-1] / padded_hw[1]
-        # only crop outputs that actually map the padded plane (heads with
-        # unrelated trailing dims — logits, box lists — pass through)
-        if not (0 < ky <= 1 and 0 < kx <= 1) or o.shape[-2] < orig_hw[0] * ky:
-            return o
-        return o[..., : int(round(orig_hw[0] * ky)),
-                 : int(round(orig_hw[1] * kx))]
+        if sig_i != "auto":
+            if sig_i is None:              # positively known non-spatial
+                return o
+            ky, kx = sig_i
+        else:
+            # no signature available (bare callable): shape-ratio heuristic
+            ky = o.shape[-2] / padded_hw[0]
+            kx = o.shape[-1] / padded_hw[1]
+            if not (0 < ky <= 1 and 0 < kx <= 1) \
+                    or o.shape[-2] < orig_hw[0] * ky:
+                return o
+        return o[..., : max(1, int(round(orig_hw[0] * ky))),
+                 : max(1, int(round(orig_hw[1] * kx)))]
 
     def _run_batch(self, batch):
         futs = [b[1] for b in batch]
@@ -245,9 +298,17 @@ class ServingEngine:
         st.latencies_ms.append(dt)
         outs = out if isinstance(out, tuple) else (out,)
         padded_hw = (target[-2], target[-1]) if len(target) >= 2 else None
+        any_padded = any(hw is not None and hw != padded_hw
+                         for hw in orig_hws)
+        sig = (self._spatial_signature(target) if self.crop_outputs
+               and padded_hw is not None and any_padded else None)
+        if sig == "host_tail":
+            sig = [None] * len(outs)       # tail outputs: never crop
         for i, f in enumerate(futs):
             per = tuple(np.asarray(o)[i] for o in outs)
             if padded_hw is not None and orig_hws[i] is not None:
-                per = tuple(self._crop_output(o, orig_hws[i], padded_hw)
-                            for o in per)
+                per = tuple(self._crop_output(
+                    o, orig_hws[i], padded_hw,
+                    sig[j] if sig is not None and j < len(sig) else "auto")
+                    for j, o in enumerate(per))
             f.set_result(per[0] if len(per) == 1 else per)

