@@ -55,24 +55,52 @@ def calibrate_act_scales(net, batches, percentile: float = 99.9) -> dict:
     in graph.meta["act_scales"]."""
     graph: Graph = net.graph
     layers = graph.layer_map()
-    # conv layer name -> weight init name
+    # conv layer name -> weight init name; stage64 layer -> conv weight names
     wname_by_layer: dict[str, str] = {}
+    stage_wnames: dict[str, list[str]] = {}
     inits = set(graph.init_names())
     for e in graph.flow:
         for li, lname in enumerate(e.layers):
+            src = e.src if li == 0 else e.dst
             if layers[lname].op == "conv":
-                src = e.src if li == 0 else e.dst
                 if len(src) > 1 and src[1] in inits:
                     wname_by_layer[lname] = src[1]
+            elif layers[lname].op == "stage64":
+                # [x, Ws, Bs, (W1, B1, W2, B2) x blocks] — convs at 1, 3+2k
+                stage_wnames[lname] = [src[p] for p in
+                                       range(1, len(src)) if p % 2 == 1]
     maxima: dict[str, float] = {}
+
+    def record(w, x):
+        a = np.abs(np.asarray(x, dtype=np.float32)).ravel()
+        m = float(np.percentile(a, percentile)) if percentile < 100 \
+            else float(a.max())
+        maxima[w] = max(maxima.get(w, 0.0), m)
 
     def cb(i, lname, layer, args, out):
         if layer.op == "conv" and lname in wname_by_layer:
-            x = np.abs(np.asarray(args[0], dtype=np.float32)).ravel()
-            m = float(np.percentile(x, percentile)) if percentile < 100 \
-                else float(x.max())
-            w = wname_by_layer[lname]
-            maxima[w] = max(maxima.get(w, 0.0), m)
+            record(wname_by_layer[lname], args[0])
+        elif layer.op == "stage64" and lname in stage_wnames:
+            # a graph fused BEFORE calibration (e.g. loaded from a fused
+            # .pla): replay the decomposed chain to observe the stage's
+            # internal conv inputs (ADVICE r2: without this the kernel
+            # silently decomposes on TPU for lack of act scales)
+            from .ops import numpy_ops as nops
+            names = stage_wnames[lname]
+            x, Ws, Bs = args[0], args[1], args[2]
+            record(names[0], x)
+            y = nops.maxpool(nops.relu(
+                nops.conv2d(x, Ws, Bs, strides=(2, 2), pads=(3, 3, 3, 3))),
+                w=(3, 3), pads=(1, 1, 1, 1), strides=(2, 2))
+            bw = args[3:]
+            for k in range(0, len(bw), 4):
+                W1, B1, W2, B2 = bw[k:k + 4]
+                record(names[1 + (k // 4) * 2], y)
+                y1 = nops.relu(nops.conv2d(y, W1, B1, strides=(1, 1),
+                                           pads=(1, 1, 1, 1)))
+                record(names[2 + (k // 4) * 2], y1)
+                y = nops.relu(nops.conv2d(y1, W2, B2, strides=(1, 1),
+                                          pads=(1, 1, 1, 1)) + y)
 
     oracle = net.oracle
     for x in batches:

@@ -161,3 +161,28 @@ def test_pallas_interpret_matches_simulation():
     assert rel < 2e-2, rel
     mean_rel = np.abs(out - ref).mean() / (np.abs(ref).mean() + 1e-9)
     assert mean_rel < 2e-3, mean_rel
+
+
+def test_calibrate_on_already_fused_graph(tmp_path):
+    """ADVICE r2: calibrating a net whose graph already contains stage64
+    (e.g. loaded from a fused .pla) must record act scales for the stage's
+    internal convs, or the TPU kernel silently decomposes."""
+    from planer_tpu import io as pio
+    net = _calibrated_quant_net()
+    p = str(tmp_path / "fused.pla")
+    pio.save_pla(p, net.graph, net.weights)
+    net2 = pio.read_net(p)
+    assert any(l.op == "stage64" for l in net2.graph.layers)
+    net2.graph.meta.pop("act_scales", None)
+    scales = calibrate_act_scales(
+        net2, ev.synthetic_images(2, (3, 224, 224), seed=5, batch=1))
+    stage_ws = [e.src[p] for e in net2.graph.flow
+                for p in range(1, len(e.src))
+                if net2.graph.layer_map()[e.layers[0]].op == "stage64"
+                and p % 2 == 1]
+    assert stage_ws and all(w in scales and scales[w] > 0 for w in stage_ws)
+    # scales must agree with the ones a pre-fusion calibration produced
+    ref = _calibrated_quant_net().graph.meta["act_scales"]
+    for w in stage_ws:
+        if w in ref:
+            np.testing.assert_allclose(scales[w], ref[w], rtol=0.2)
