@@ -41,6 +41,17 @@ from planer_tpu.ops.pallas import stage64 as st
 R, RS, S, HALO, BUF = st.R, st.RS, st.S, st.HALO, st.BUF
 N = 4 if INTERP else 64  # batch
 
+# local copies of round-2 kernel helpers (the library kernel was rewritten
+# after this probe's data informed the redesign; keep the probe runnable)
+if not hasattr(st, "_BLOCK_TAPS"):
+    st._BLOCK_TAPS = [(dy - 1) * RS + (dx - 1)
+                      for dy in range(3) for dx in range(3)]
+if not hasattr(st, "_colmask"):
+    def _colmask(rows, dtype=jnp.float32):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
+        return (lane % RS < R).astype(dtype)
+    st._colmask = _colmask
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -230,18 +241,20 @@ def main():
         "dot_k64x9": lambda x_: call_probe(k_dot_k64x9, x_, A64, Bq()),
         "staged_dot": lambda x_: call_probe(k_staged_dot, x_, A64, Bq()),
         "pertap_dot": lambda x_: call_probe(k_pertap_dot, x_, A64),
-        "staged_full": lambda x_: st._call_block(
-            x_, A64, f, b, A64, f, b, 0.21, 0.04, 0.19, INTERP),
         "pertap_full": lambda x_: call_full_pertap(x_, A64, f, b, A64, f, b),
     }
+    if hasattr(st, "_call_block"):   # round-2 library kernel, since removed
+        probes["staged_full"] = lambda x_: st._call_block(
+            x_, A64, f, b, A64, f, b, 0.21, 0.04, 0.19, INTERP)
 
-    # numeric agreement: the per-tap rewrite must match the staged kernel
-    ys = np.asarray(probes["staged_full"](x))
-    yp = np.asarray(probes["pertap_full"](x))
-    agree = float((ys == yp).mean())
-    log(f"pertap_full vs staged_full exact-agreement: {agree:.6f}")
-
-    results = {"pertap_vs_staged_agreement": agree}
+    results = {}
+    if "staged_full" in probes:
+        # numeric agreement: the per-tap rewrite must match the staged kernel
+        ys = np.asarray(probes["staged_full"](x))
+        yp = np.asarray(probes["pertap_full"](x))
+        agree = float((ys == yp).mean())
+        log(f"pertap_full vs staged_full exact-agreement: {agree:.6f}")
+        results["pertap_vs_staged_agreement"] = agree
     for name, call in probes.items():
         try:
             dt, compile_s = timed_loop(call, (x,))

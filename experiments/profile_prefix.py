@@ -64,23 +64,25 @@ def time_loop(call, x, n1=10, n2=110, reps=4):
 
 
 def main():
+    nofuse = bool(int(os.environ.get("PROFILE_NOFUSE", "0")))
     net = models.resnet18()
     net.optimize()
     calibrate_act_scales(net, ev.synthetic_images(4, (3, 224, 224), seed=11,
                                                   batch=2))
-    net.quantize("int8", activations="static")
+    net.quantize("int8", activations="static", fuse=not nofuse)
     net.astype_compute("bfloat16")
     graph = net.graph
     ret_layer = graph.flow[-1].layers[0]
 
-    # block boundaries: edge index AFTER which we cut (cumulative prefixes)
+    # block boundaries: edge index AFTER which we cut (cumulative prefixes).
+    # With fusion on, each stage64/stagen edge IS a stage — mark every edge.
     marks = []
     want = ["stem.pool", "layer1.0.out", "layer1.1.out", "layer2.0.out",
             "layer2.1.out", "layer3.1.out", "layer4.1.out"]
     lm = graph.layer_map()
     for i, e in enumerate(graph.flow):
         for ln in e.layers:
-            if ln in want:
+            if ln in want or lm[ln].op in ("stage64", "stagen"):
                 marks.append((ln, i + 1))
     marks.append(("full", len(graph.flow)))
     log("boundaries:", marks)
@@ -114,7 +116,8 @@ def main():
         prev = dt
 
     out = {"batch": BATCH, "blocks": results}
-    path = f"experiments/prefix_profile_b{BATCH}.json"
+    path = (f"experiments/prefix_profile_b{BATCH}"
+            f"{'_nofuse' if nofuse else ''}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     log("wrote", path)
