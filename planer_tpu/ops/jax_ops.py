@@ -972,3 +972,16 @@ def stage64(x, Ws, Bs, *bw, blocks=None, force_decomposed=False):
     from .pallas import stage64 as _st
     return _st.stage64(x, Ws, Bs, *bw, blocks=blocks,
                        force_decomposed=force_decomposed)
+
+
+def stagen(x, *w, blocks=None, force_decomposed=False):
+    """Fused ResNet body stage (basic/bottleneck residual blocks) — the
+    TPU-native replacement for the reference's per-conv im2col+BLAS path
+    (/root/reference/planer/util.py:17-44) over whole stages.  Routes to
+    the Pallas whole-stage kernel on TPU with int8 weights + calibrated
+    activation scales; decomposes to the exact replaced op chain elsewhere
+    (see ops/pallas/stagen.py).  ``force_decomposed`` (injected by
+    parallel.sharding via TracedProgram.op_overrides) keeps the op out of
+    Pallas under GSPMD."""
+    from .pallas import stagen as _st
+    return _st.stagen(x, *w, blocks=blocks, force_decomposed=force_decomposed)

@@ -756,3 +756,13 @@ def stage64(x, Ws, Bs, *bw, blocks=None):
         y = conv2d(y, W2, B2, strides=(1, 1), pads=(1, 1, 1, 1))
         y = relu(add(y, r))
     return y
+
+
+def stagen(x, *w, blocks=None):
+    """Oracle for a fused ResNet body stage (optimize.fuse_stagen): exactly
+    the basic/bottleneck block chain the fusion replaced (structure in the
+    ``blocks`` kwarg; see ops/pallas/stagen.parse_blocks).  Weights arrive
+    as the fp32 dequant view (quant.dequant_weights)."""
+    import sys
+    from .pallas.stagen import decomposed
+    return decomposed(x, *w, blocks=blocks, jops=sys.modules[__name__])

@@ -65,8 +65,8 @@ def calibrate_act_scales(net, batches, percentile: float = 99.9) -> dict:
             if layers[lname].op == "conv":
                 if len(src) > 1 and src[1] in inits:
                     wname_by_layer[lname] = src[1]
-            elif layers[lname].op == "stage64":
-                # [x, Ws, Bs, (W1, B1, W2, B2) x blocks] — convs at 1, 3+2k
+            elif layers[lname].op in ("stage64", "stagen"):
+                # weights are (W, B) pairs after x — convs at odd positions
                 stage_wnames[lname] = [src[p] for p in
                                        range(1, len(src)) if p % 2 == 1]
     maxima: dict[str, float] = {}
@@ -101,6 +101,39 @@ def calibrate_act_scales(net, batches, percentile: float = 99.9) -> dict:
                 record(names[2 + (k // 4) * 2], y1)
                 y = nops.relu(nops.conv2d(y1, W2, B2, strides=(1, 1),
                                           pads=(1, 1, 1, 1)) + y)
+        elif layer.op == "stagen" and lname in stage_wnames:
+            # same replay for fused body stages: walk the decomposed chain
+            # recording each conv's input under its weight name
+            from .ops import numpy_ops as nops
+            from .ops.pallas.stagen import parse_blocks
+            names = iter(stage_wnames[lname])
+            x = args[0]
+            for b in parse_blocks(layer.kwargs["blocks"], list(args[1:])):
+                st_ = int(b.get("stride", 1))
+                res = x
+                if b["kind"] == "basic":
+                    (W1, B1), (W2, B2) = b["convs"]
+                    record(next(names), x)
+                    y = nops.relu(nops.conv2d(x, W1, B1, strides=(st_, st_),
+                                              pads=(1, 1, 1, 1)))
+                    record(next(names), y)
+                    y = nops.conv2d(y, W2, B2, strides=(1, 1),
+                                    pads=(1, 1, 1, 1))
+                else:
+                    (W1, B1), (W2, B2), (W3, B3) = b["convs"]
+                    record(next(names), x)
+                    y = nops.relu(nops.conv2d(x, W1, B1))
+                    record(next(names), y)
+                    y = nops.relu(nops.conv2d(y, W2, B2,
+                                              strides=(st_, st_),
+                                              pads=(1, 1, 1, 1)))
+                    record(next(names), y)
+                    y = nops.conv2d(y, W3, B3)
+                if b.get("down"):
+                    Wd, Bd = b["proj"]
+                    record(next(names), res)
+                    res = nops.conv2d(res, Wd, Bd, strides=(st_, st_))
+                x = nops.relu(y + res)
 
     oracle = net.oracle
     for x in batches:

@@ -61,6 +61,9 @@ _reg("gru", nops.gru, jops.gru, multi_output=True)
 # ONNX frontend) — stem conv+relu+maxpool + N basic blocks in one op so the
 # TPU path can run the whole stage in fused Pallas kernels
 _reg("stage64", nops.stage64, jops.stage64)
+# fused ResNet body stage (optimize.fuse_stagen): basic/bottleneck blocks
+# at constant width, incl. strided/projected entry blocks
+_reg("stagen", nops.stagen, jops.stagen)
 
 # activations / elementwise
 _reg("relu", nops.relu, jops.relu)

@@ -78,14 +78,19 @@ class Net:
         ``activations='dynamic'`` also runs W8A8 convs on profitable layers
         (s8 MXU path, 2x bf16 peak).  With ``activations='static'`` (scales
         from a prior calibrate_act_scales run) the ResNet entry stage is also
-        fused into the Pallas kernel chain (``fuse=False`` to disable)."""
+        fused into the Pallas kernel chain (``fuse=False`` to disable;
+        ``fuse='all'`` additionally fuses body stages via optimize.fuse_stagen
+        — measured SLOWER end-to-end on ResNet-18/50 than XLA's W8A8 convs,
+        experiments/fuse_ab_*.json, so it is opt-in)."""
         from ..quant import quantize_net
         quantize_net(self, mode=mode, skip=skip, activations=activations)
         if fuse is None:
             fuse = activations == "static" and mode == "int8"
         if fuse:
-            from ..optimize import fuse_stage64
+            from ..optimize import fuse_stage64, fuse_stagen
             fuse_stage64(self)
+            if fuse == "all":
+                fuse_stagen(self)
         self._invalidate()
         return self
 
