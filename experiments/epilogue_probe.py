@@ -76,6 +76,27 @@ def k_epi_int(x_ref, mi_ref, bi_ref, m8_ref, o_ref):
     o_ref[0] = v.astype(jnp.int8) & m8_ref[...]
 
 
+def k_epi_fxp_v(x_ref, mi_ref, bi_ref, s_ref, m8_ref, o_ref):
+    """int32 fixed-point with PER-CHANNEL shift: clamp((acc*m + B) >> s).
+    B pre-folded with (b + 0.5) * 2^s so the floor == round-half-up; the
+    variable shift tests whether Mosaic's vector-shift costs like >>const."""
+    acc = x_ref[0]
+    v = (acc * mi_ref[...] + bi_ref[...]) >> s_ref[...]
+    v = jnp.minimum(jnp.maximum(v, 0), 127)
+    o_ref[0] = v.astype(jnp.int8) & m8_ref[...]
+
+
+def k_epi_fxp_res(x_ref, r_ref, mi_ref, mr_ref, bi_ref, s_ref, m8_ref,
+                  o_ref):
+    """fixed-point epilogue with the residual add fused in the int domain:
+    clamp((acc*m + res*mr + B) >> s) — the block conv2 plane."""
+    acc = x_ref[0]
+    res = r_ref[0].astype(jnp.int32)
+    v = (acc * mi_ref[...] + res * mr_ref[...] + bi_ref[...]) >> s_ref[...]
+    v = jnp.minimum(jnp.maximum(v, 0), 127)
+    o_ref[0] = v.astype(jnp.int8) & m8_ref[...]
+
+
 def k_ops_dtype(x_ref, o_ref, *, dt, nops_):
     """nops_ chained adds on a (64, S)-shaped buffer of dtype dt."""
     v = x_ref[0]
@@ -117,7 +138,10 @@ def timed(fn, args, n1=20, n2=420, reps=4):
 
 def call(kernel, x, extras, out_dtype):
     specs = [pl.BlockSpec((1,) + x.shape[1:], lambda n: (n, 0, 0))]
-    specs += [pl.BlockSpec(e.shape, lambda n: (0,) * e.ndim) for e in extras]
+    specs += [pl.BlockSpec((1,) + e.shape[1:], lambda n: (n, 0, 0))
+              if e.ndim == 3 else
+              pl.BlockSpec(e.shape, lambda n: (0,) * e.ndim)
+              for e in extras]
     return pl.pallas_call(
         kernel, grid=(x.shape[0],),
         in_specs=specs,
@@ -155,6 +179,11 @@ def main():
     run("epi_f32", k_epi_f32, (acc, f, b, m))
     run("epi_trunc", k_epi_trunc, (acc, f, b + 0.5, m8))
     run("epi_int", k_epi_int, (acc, mi, bi, m8))
+    sv = jnp.asarray(rng.integers(14, 21, (64, 1), dtype=np.int32))
+    res8 = jnp.asarray(rng.integers(0, 127, (N, 64, S), dtype=np.int8))
+    mr = jnp.full((64, 1), 97, jnp.int32)
+    run("epi_fxp_vshift", k_epi_fxp_v, (acc, mi, bi, sv, m8))
+    run("epi_fxp_res", k_epi_fxp_res, (acc, res8, mi, mr, bi, sv, m8))
 
     # dtype packing probe: 8 chained adds per dtype
     for dt_ in ("int8", "int16", "int32", "float32", "bfloat16"):

@@ -76,6 +76,46 @@ FALLOFF = collections.Counter()
 # stage_v2_probe): the split form pipelines better; flip for A/B probes.
 SPLIT = True
 
+# REQUANT: "fxp" = int32 fixed-point epilogues on the quantizing planes
+# (clamp((acc*m + B) >> s): all-int VPU ops run ~2x the f32 rate,
+# experiments/epilogue_probe.json 0.84 vs 1.20 us/plane standalone) with
+# per-channel (m, B, s) folded host-side; "trunc" = exact f32 trunc-fold.
+# The fxp multiplier m carries <= 0.9% relative scale error (m in [58, 115],
+# bounded by int32 overflow: |acc| < 127*127*576 ~ 2^23.2 so m <= 115 keeps
+# acc*m < 2^30); the bf16-emitting final planes always use exact f32.  Only
+# the SPLIT path implements fxp.  MEASURED END-TO-END NEUTRAL (split_ab:
+# 1.957 fxp vs 1.951 trunc ms b64) — the block kernels are not VPU-bound in
+# situ — so the exact form stays the default.
+REQUANT = "trunc"
+
+# images per grid step in the SPLIT kernels (even batches only; odd batches
+# and batch 1 fall back to 1).  2 would let image B's MXU dots overlap image
+# A's VPU epilogue; measured end-to-end neutral (1.971 ipr2 / 1.982 ipr4 vs
+# 1.957 ipr1 ms b64), so single-image steps (lowest VMEM, serving-friendly)
+# stay the default.
+IPR = 1
+
+_FXP_MMAX = 115
+
+
+def _fxp_pack(f, b_half, sx=0.0):
+    """Fold per-channel f32 requant (f, b+0.5) into int32 (m, B, s, mr) with
+    clamp((acc*m + res*mr + B) >> s, 0, 127) == clamp(floor(acc*f +
+    res*sx + b + 0.5)) up to the m/mr rounding error.  Headroom budget in
+    int32: |acc*m| <= 2^30, |res*mr| <= 2^29, |B| <= 2^28."""
+    f = np.asarray(f, np.float64).reshape(-1)
+    bh = np.asarray(b_half, np.float64).reshape(-1)
+    s = np.floor(np.log2(_FXP_MMAX / np.maximum(f, 1e-30)))
+    if sx:
+        s = np.minimum(s, np.floor(np.log2(2.0 ** 29 / (127.0 * abs(sx)))))
+    s = np.minimum(s, np.floor(np.log2(2.0 ** 28
+                                       / np.maximum(np.abs(bh), 1.0))))
+    s = np.clip(s, 0, 30)
+    p = 2.0 ** s
+    q = np.stack([np.round(f * p), np.round(bh * p), s,
+                  np.round(sx * p)], axis=1)
+    return jnp.asarray(q.astype(np.int32))
+
 HALO = 128        # left/right halo of the block layout (lane-tile aligned;
 #                   must exceed RS+1, the largest backward tap offset)
 
@@ -171,7 +211,18 @@ def _build_B(B_ref, src, base, taps, nc, Sg=S):
 _NEG = np.int32(-2 ** 30)
 
 
-def _stage_kernel(*refs, g, nblocks, ipr, sxs, emit="bf16"):
+def _fxp_q(acc, q_ref, m8, res=None):
+    """Quantizing fixed-point epilogue: clamp((acc*m + res*mr + B) >> s,
+    0, 127) with per-channel (m, B, s, mr) from _fxp_pack — all int32 VPU
+    ops (experiments/epilogue_probe.json: 0.84 us vs 1.20 trunc-fold)."""
+    v = acc * q_ref[:, 0:1] + q_ref[:, 1:2]
+    if res is not None:
+        v = v + res.astype(jnp.int32) * q_ref[:, 3:4]
+    v = v >> q_ref[:, 2:3]
+    return jnp.minimum(jnp.maximum(v, 0), 127).astype(jnp.int8) & m8
+
+
+def _stage_kernel(*refs, g, nblocks, ipr, sxs, emit="bf16", fxp=False):
     """One grid step = ``ipr`` images through stem + pool + all blocks.
 
     refs = [mask8, x, A_s, f_s, b_s, (A1, f1, b1, A2, f2, b2) x nblocks,
@@ -245,19 +296,26 @@ def _stage_kernel(*refs, g, nblocks, ipr, sxs, emit="bf16"):
                 pv = v if off == 0 else ph_ref[:, HALO + off:HALO + off + Sg]
                 pooled = pv if pooled is None else jnp.maximum(pooled, pv)
         # one folded requant on the POOLED plane (not 4x on phase planes):
-        # f_s = w_scale * s_in * inv0, b_s = bias * inv0 (+0.5 pre-folded)
-        vv = pooled.astype(jnp.float32) * fs_ref[...] + bs_ref[...]
+        # f_s = w_scale * s_in * inv0, b_s = bias * inv0 (+0.5 pre-folded);
+        # fxp mode gets (m, B, s) int32 in fs_ref instead
         if nblocks == 0:
             if emit == "bf16":   # stem-only stage (ResNet-50), inv0 = 1
+                vv = pooled.astype(jnp.float32) * fs_ref[...] + bs_ref[...]
                 o_ref[p, :, HALO:HALO + Sg] = jnp.where(
                     cond, jnp.maximum(vv, 0.0), 0.0).astype(o_ref.dtype)
             else:                # SPLIT mode: int8 + zero halos for blocks
                 zero = jnp.zeros((64, HALO), jnp.int8)
                 o_ref[p, :, :HALO] = zero
                 o_ref[p, :, HALO + Sg:] = zero
-                o_ref[p, :, HALO:HALO + Sg] = \
-                    jnp.clip(vv, 0.0, 127.99).astype(jnp.int8) & m8
+                if fxp:
+                    o_ref[p, :, HALO:HALO + Sg] = _fxp_q(pooled, fs_ref, m8)
+                else:
+                    vv = (pooled.astype(jnp.float32) * fs_ref[...]
+                          + bs_ref[...])
+                    o_ref[p, :, HALO:HALO + Sg] = \
+                        jnp.clip(vv, 0.0, 127.99).astype(jnp.int8) & m8
             continue
+        vv = pooled.astype(jnp.float32) * fs_ref[...] + bs_ref[...]
         ys[p][:, HALO:HALO + Sg] = \
             jnp.clip(vv, 0.0, 127.99).astype(jnp.int8) & m8
 
@@ -285,7 +343,7 @@ def _stage_kernel(*refs, g, nblocks, ipr, sxs, emit="bf16"):
 
 
 def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
-                interpret, emit="bf16"):
+                interpret, emit="bf16", fxp=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -294,12 +352,12 @@ def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
     wspec, sspec = const((64, 576)), const((64, 1))
     in_specs = [const((1, g.S)),
                 pl.BlockSpec((ipr, 64, g.SBUF), lambda n: (n, 0, 0)),
-                const((256, 576)), sspec, sspec]
+                const((256, 576)), const(tuple(f_s.shape)), sspec]
     in_specs += [wspec, sspec, sspec, wspec, sspec, sspec] * nblocks
     odt = jnp.bfloat16 if (nblocks or emit == "bf16") else jnp.int8
     return pl.pallas_call(
         partial(_stage_kernel, g=g, nblocks=nblocks, ipr=ipr, sxs=sxs,
-                emit=emit),
+                emit=emit, fxp=fxp),
         grid=(N // ipr,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((ipr, 64, g.BUF), lambda n: (n, 0, 0)),
@@ -316,11 +374,27 @@ def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
     )(mask, x64, A_s, f_s, b_s, *bw_args)
 
 
-def _block_kernel(mask_ref, x_ref, A1, f1, b1, A2, f2, b2, o_ref, y1_ref,
-                  *, g, sx, last):
-    """SPLIT-mode basic block: per-tap dots + trunc-fold epilogues, one
-    image per grid step, int8 in -> int8 (zeroed halos) or bf16 out."""
+def _block_kernel(*refs, g, sx, last, fxp, ipr):
+    """SPLIT-mode basic block: per-tap dots, ``ipr`` images per grid step,
+    int8 in -> int8 (zeroed halos) or bf16 out.
+
+    refs = [mask, x, A1, E1..., A2, E2..., out, y1 x ipr] where each
+    epilogue E is (q,) int32 (m, B, s, mr) in fxp mode or (f, b) f32
+    otherwise; the last block's conv2 always uses exact f32 (bf16 output
+    needs the raw scale) with the residual added as res * sx.
+
+    ipr > 1 interleaves the images so image B's MXU dots can overlap image
+    A's VPU epilogue — the single-image kernel runs dots and epilogues
+    strictly serially (their sum matches the measured ~3.6 us/block)."""
     import jax.experimental.pallas as pl
+
+    mask_ref, x_ref = refs[0], refs[1]
+    n1 = 1 if fxp else 2
+    A1, E1 = refs[2], refs[3:3 + n1]
+    n2 = 2 if last else n1
+    A2, E2 = refs[3 + n1], refs[4 + n1:4 + n1 + n2]
+    o_ref = refs[4 + n1 + n2]
+    y1s = refs[5 + n1 + n2:5 + n1 + n2 + ipr]
 
     Sg, RSg = g.S, g.RS
     taps = [(dy - 1) * RSg + (dx - 1) for dy in range(3) for dx in range(3)]
@@ -328,12 +402,12 @@ def _block_kernel(mask_ref, x_ref, A1, f1, b1, A2, f2, b2, o_ref, y1_ref,
     @pl.when(pl.program_id(0) == 0)
     def _init():
         zero = jnp.zeros((64, HALO), jnp.int8)
-        y1_ref[:, :HALO] = zero
-        y1_ref[:, HALO + Sg:] = zero
+        for y1_ref in y1s:
+            y1_ref[:, :HALO] = zero
+            y1_ref[:, HALO + Sg:] = zero
 
     m8 = mask_ref[...]
     cond = m8 != 0
-    x = x_ref[0]
 
     def conv(A_ref, src):
         acc = None
@@ -344,47 +418,60 @@ def _block_kernel(mask_ref, x_ref, A1, f1, b1, A2, f2, b2, o_ref, y1_ref,
             acc = d if acc is None else acc + d
         return acc
 
-    a1 = conv(A1, x)
-    v1 = a1.astype(jnp.float32) * f1[...] + b1[...]
-    y1_ref[:, HALO:HALO + Sg] = \
-        jnp.clip(v1, 0.0, 127.99).astype(jnp.int8) & m8
-    a2 = conv(A2, y1_ref)
-    res = x[:, HALO:HALO + Sg].astype(jnp.float32)
-    v2 = a2.astype(jnp.float32) * f2[...] + b2[...] + res * sx
-    if last:
-        o_ref[0, :, HALO:HALO + Sg] = jnp.where(
-            cond, jnp.maximum(v2, 0.0), 0.0).astype(o_ref.dtype)
-    else:
-        zero = jnp.zeros((64, HALO), jnp.int8)
-        o_ref[0, :, :HALO] = zero
-        o_ref[0, :, HALO + Sg:] = zero
-        o_ref[0, :, HALO:HALO + Sg] = \
-            jnp.clip(v2, 0.0, 127.99).astype(jnp.int8) & m8
+    a1 = [conv(A1, x_ref[p]) for p in range(ipr)]
+    for p in range(ipr):
+        if fxp:
+            y1s[p][:, HALO:HALO + Sg] = _fxp_q(a1[p], E1[0], m8)
+        else:
+            v1 = a1[p].astype(jnp.float32) * E1[0][...] + E1[1][...]
+            y1s[p][:, HALO:HALO + Sg] = \
+                jnp.clip(v1, 0.0, 127.99).astype(jnp.int8) & m8
+    a2 = [conv(A2, y1s[p]) for p in range(ipr)]
+    zero = jnp.zeros((64, HALO), jnp.int8)
+    for p in range(ipr):
+        res8 = x_ref[p][:, HALO:HALO + Sg]
+        if last:
+            v2 = (a2[p].astype(jnp.float32) * E2[0][...] + E2[1][...]
+                  + res8.astype(jnp.float32) * sx)
+            o_ref[p, :, HALO:HALO + Sg] = jnp.where(
+                cond, jnp.maximum(v2, 0.0), 0.0).astype(o_ref.dtype)
+            continue
+        o_ref[p, :, :HALO] = zero
+        o_ref[p, :, HALO + Sg:] = zero
+        if fxp:
+            o_ref[p, :, HALO:HALO + Sg] = _fxp_q(a2[p], E2[0], m8, res=res8)
+        else:
+            v2 = (a2[p].astype(jnp.float32) * E2[0][...] + E2[1][...]
+                  + res8.astype(jnp.float32) * sx)
+            o_ref[p, :, HALO:HALO + Sg] = \
+                jnp.clip(v2, 0.0, 127.99).astype(jnp.int8) & m8
 
 
-def _call_block(y, mask, A1, f1, b1, A2, f2, b2, sx, g, last, interpret):
+def _call_block(y, mask, A1, E1, A2, E2, sx, g, last, interpret, fxp,
+                ipr=1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N = y.shape[0]
     const = lambda shape: pl.BlockSpec(shape, lambda n: (0,) * len(shape))
-    wspec, sspec = const((64, 576)), const((64, 1))
+    wspec = const((64, 576))
+    espec = lambda es: [const(tuple(e.shape)) for e in es]
     return pl.pallas_call(
-        partial(_block_kernel, g=g, sx=sx, last=last),
-        grid=(N,),
+        partial(_block_kernel, g=g, sx=sx, last=last, fxp=fxp, ipr=ipr),
+        grid=(N // ipr,),
         in_specs=[const((1, g.S)),
-                  pl.BlockSpec((1, 64, g.BUF), lambda n: (n, 0, 0)),
-                  wspec, sspec, sspec, wspec, sspec, sspec],
-        out_specs=pl.BlockSpec((1, 64, g.BUF), lambda n: (n, 0, 0)),
+                  pl.BlockSpec((ipr, 64, g.BUF), lambda n: (n, 0, 0)),
+                  wspec, *espec(E1), wspec, *espec(E2)],
+        out_specs=pl.BlockSpec((ipr, 64, g.BUF), lambda n: (n, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (N, 64, g.BUF), jnp.bfloat16 if last else jnp.int8),
-        scratch_shapes=[pltpu.VMEM((64, g.BUF), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((64, g.BUF), jnp.int8)] * ipr,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * 2 * 64 * 576 * g.S,
             bytes_accessed=N * 64 * g.BUF * 2 + 2 * 64 * 576,
             transcendentals=0),
         interpret=interpret,
-    )(mask, y, A1, f1, b1, A2, f2, b2)
+    )(mask, y, A1, *E1, A2, *E2)
 
 
 # --------------------------------------------------------------------------
@@ -457,12 +544,22 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g):
         # one pallas_call per part: Mosaic pipelines each small kernel's
         # HBM in/out across grid steps far better than one mega-kernel
         # whose VMEM working set crowds out double buffering
-        y = _call_stage(x64, mask, A_s, f_s, b_s, [], (), g, 0, 1,
-                        interpret, emit="int8")
+        fxp = REQUANT == "fxp"
+        ipr = IPR if x.shape[0] % IPR == 0 else 1
+        fs = _fxp_pack(f_s, b_s) if fxp else f_s
+        y = _call_stage(x64, mask, A_s, fs, b_s, [], (), g, 0, ipr,
+                        interpret, emit="int8", fxp=fxp)
         for bi in range(len(blocks)):
             A1, f1, b1, A2, f2, b2 = bw_args[6 * bi:6 * bi + 6]
-            y = _call_block(y, mask, A1, f1, b1, A2, f2, b2, sxs[bi], g,
-                            bi == len(blocks) - 1, interpret)
+            last = bi == len(blocks) - 1
+            if fxp:
+                E1 = (_fxp_pack(f1, b1),)
+                E2 = (f2, b2) if last else \
+                    (_fxp_pack(f2, b2, sx=sxs[bi]),)
+            else:
+                E1, E2 = (f1, b1), (f2, b2)
+            y = _call_block(y, mask, A1, E1, A2, E2, sxs[bi], g,
+                            last, interpret, fxp, ipr=ipr)
         return _unpad(y, x.dtype, g)
     ipr = 1   # 2-image steps measured no faster and double the VMEM
     y = _call_stage(x64, mask, A_s, f_s, b_s, bw_args, tuple(sxs),

@@ -34,11 +34,12 @@ _QUANT_OPS = {
     "convtranspose": 1,  # (I, O/g, kh, kw)
     "matmul": -1,        # (..., I, O): per-column scales on the last axis
     "stage64": 0,        # fused entry stage: conv weights at odd positions
+    "stagen": 0,         # fused body stage: conv weights at odd positions
 }
 
 
 def _is_weight_pos(op: str, p: int) -> bool:
-    if op == "stage64":
+    if op in ("stage64", "stagen"):
         return p % 2 == 1    # [x, Ws, Bs, W1, B1, W2, B2, ...]
     return p == 1
 
@@ -364,6 +365,21 @@ def make_quant_program(graph: Graph, weights: list[np.ndarray],
         return out
 
     def materialize(name, leaf, op):
+        if op in ("stage64", "stagen"):
+            # fused-stage kernels fold requant scales HOST-side at trace
+            # time (the int32 fixed-point epilogues need concrete values,
+            # ops/pallas/stage64._fxp_pack) — bake the tiny per-channel
+            # scales and biases as compile-time constants; the int8
+            # payloads stay streamed params
+            if isinstance(leaf, QTensor):
+                info = graph.quant.get(name)
+                if info is not None:
+                    return QTensor(leaf.q, weights[idx[info["scale"]]],
+                                   act_dynamic=leaf.act_dynamic,
+                                   act_scale=leaf.act_scale)
+                return leaf
+            i = idx.get(name)
+            return weights[i] if i is not None else leaf
         if isinstance(leaf, QTensor):
             if op in _QUANT_OPS:
                 return leaf  # quant-aware op consumes int8 directly

@@ -110,22 +110,36 @@ def _rand_qtensor(rng, shape, act_scale):
                    act_scale=float(act_scale))
 
 
-def _simulate(x, Ws, Bs, blocks):
+def _simulate(x, Ws, Bs, blocks, requant="trunc"):
     """Exact math of the fused kernel with plain lax ops: integer-valued f32
     convs are exact (|acc| < 2^24) and the epilogues mirror the kernel's
     FOLDED scale association (f' = w_scale*s_act*inv_next applied as one
     multiply, ReLU folded into the [0,127] clip, the maxpool taken over raw
     accumulators before the affine) — so kernel-vs-simulation is bit-exact
     up to the final bf16 cast, and any requant boundary flip is a bug, not
-    tolerance noise."""
+    tolerance noise.  ``requant='fxp'`` mirrors the int32 fixed-point
+    epilogue exactly (same host folding via st._fxp_pack, int64 math)."""
     dn = ("NCHW", "OIHW", "NCHW")
+    fxp = requant == "fxp"
 
-    def fold_q(acc, f, b):
-        # trunc-fold requant: +0.5 into the bias, floor == the kernel's
-        # f32->int8 truncation for the non-negative post-ReLU plane
-        return jnp.floor(jnp.clip(
-            acc * f.reshape(1, -1, 1, 1) + (b + 0.5).reshape(1, -1, 1, 1),
-            0.0, 127.99))
+    def fold_q(acc, f, b, sx=0.0, res=None):
+        # quantizing epilogue, exact mirror of the kernel's chosen mode
+        if fxp:
+            q = np.asarray(st._fxp_pack(f, np.asarray(b) + 0.5, sx=sx),
+                           np.int64)
+            m, B, s, mr = (q[:, i].reshape(1, -1, 1, 1) for i in range(4))
+            v = np.asarray(acc).astype(np.int64) * m + B
+            if res is not None:
+                v = v + np.asarray(res).astype(np.int64) * mr
+            v = v >> s
+            return jnp.asarray(np.clip(v, 0, 127).astype(np.float32))
+        # trunc-fold: +0.5 into the bias, floor == the kernel's f32->int8
+        # truncation for the non-negative post-ReLU plane
+        v = acc * f.reshape(1, -1, 1, 1) + (np.asarray(b) + 0.5
+                                            ).reshape(1, -1, 1, 1)
+        if res is not None:
+            v = v + res * sx
+        return jnp.floor(jnp.clip(v, 0.0, 127.99))
 
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / Ws.act_scale),
                   -127, 127)
@@ -151,13 +165,12 @@ def _simulate(x, Ws, Bs, blocks):
         y1 = fold_q(a1, W1.scale.reshape(-1) * (cur_s / s_mid), B1 / s_mid)
         a2 = lax.conv_general_dilated(y1, W2.q.astype(jnp.float32), (1, 1),
                                       ((1, 1), (1, 1)), dimension_numbers=dn)
-        bh = B2 * inv_out + (0.0 if last else 0.5)
-        v2 = (a2 * (W2.scale.reshape(1, -1, 1, 1) * (s_mid * inv_out))
-              + bh.reshape(1, -1, 1, 1)
-              + y * (cur_s * inv_out))
-        if last:
+        if last:    # bf16-emitting plane: exact f32 in BOTH requant modes
+            v2 = (a2 * (W2.scale.reshape(1, -1, 1, 1) * s_mid)
+                  + B2.reshape(1, -1, 1, 1) + y * cur_s)
             return jnp.maximum(v2, 0.0)
-        y = jnp.floor(jnp.clip(v2, 0.0, 127.99))
+        y = fold_q(a2, np.asarray(W2.scale).reshape(-1) * (s_mid * inv_out),
+                   B2 * inv_out, sx=cur_s * inv_out, res=y)
         cur_s = blocks[bi + 1][0].act_scale
 
 
@@ -178,16 +191,24 @@ def _rand_stage_inputs(rng, size, batch):
 
 # batch 2 exercises the 2-images-per-grid-step interleave; batch 1 the
 # single-image path; 192/256 the derived (non-224) geometries (VERDICT r2
-# weak #3: serving hw_buckets must keep the fast path)
+# weak #3: serving hw_buckets must keep the fast path).  The fxp cases
+# cover the int32 fixed-point epilogue (the default on TPU), trunc the
+# exact-f32 fallback.
 @pytest.mark.slow
-@pytest.mark.parametrize("size,batch", [(224, 1), (224, 2), (192, 2),
-                                        (256, 1)])
-def test_pallas_interpret_matches_simulation(size, batch):
+@pytest.mark.parametrize("size,batch,requant", [
+    (224, 1, "fxp"), (224, 2, "fxp"), (192, 2, "fxp"), (256, 1, "fxp"),
+    (224, 1, "trunc")])
+def test_pallas_interpret_matches_simulation(size, batch, requant):
     rng = np.random.default_rng(7)
     x, Ws, Bs, blocks, bw = _rand_stage_inputs(rng, size, batch)
 
-    out = st.stage64(x, Ws, Bs, *bw, interpret=True)
-    ref = _simulate(jnp.asarray(x), Ws, Bs, blocks)
+    old = st.REQUANT
+    st.REQUANT = requant
+    try:
+        out = st.stage64(x, Ws, Bs, *bw, interpret=True)
+    finally:
+        st.REQUANT = old
+    ref = _simulate(jnp.asarray(x), Ws, Bs, blocks, requant=requant)
     out = np.asarray(out, np.float32)
     ref = np.asarray(ref, np.float32)
     assert out.shape == ref.shape == (batch, 64, size // 4, size // 4)
