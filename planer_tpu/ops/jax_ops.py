@@ -100,25 +100,52 @@ def _stacked_conv3x3_q(x, K, B):
     return out
 
 
-def _conv_w8a8(x, K, B, strides, dilations, pads):
+def _conv_w8a8(x, K, B, strides, dilations, pads, pre_quantized=False):
     """Per-tensor activation quant + s8 x s8 -> s32 conv + dequant.  The
     scale is a baked calibration constant when available (no reduction pass),
-    else computed dynamically per call."""
+    else computed dynamically per call.
+
+    ``pre_quantized``: x already holds int8 activation CODES at K.act_scale
+    (emitted by a fused stage64 with out_scale == this conv's calibrated
+    scale — optimize.annotate_stage_output_quant): skip the quantize pass
+    entirely and emit bfloat16 (the pre-quantized contract only arises on
+    the TPU fused path, whose compute dtype is bf16)."""
     pt, pl, pb, pr = pads
-    q, sx = _act_quant(x, K)
+    if pre_quantized:
+        q, sx, odt = x, jnp.float32(K.act_scale), jnp.bfloat16
+    else:
+        (q, sx), odt = _act_quant(x, K), x.dtype
     acc = lax.conv_general_dilated(
         q, K.q, window_strides=strides, padding=((pt, pb), (pl, pr)),
         rhs_dilation=dilations, dimension_numbers=_DIMNUMS,
         preferred_element_type=jnp.int32)
     w_scale = K.scale.reshape(1, -1, 1, 1)
-    out = (acc.astype(jnp.float32) * (sx * w_scale)).astype(x.dtype)
+    out = (acc.astype(jnp.float32) * (sx * w_scale)).astype(odt)
     if B is not None:
         out = out + B.reshape(1, -1, 1, 1).astype(out.dtype)
     return out
 
 
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
-           pads=(0, 0, 0, 0), auto_pad=None):
+           pads=(0, 0, 0, 0), auto_pad=None, out_scale=None):
+    """2-D convolution with optional int8 activation-code emission.
+
+    ``out_scale`` (set by optimize.annotate_output_quant when every
+    transitive-through-relu consumer is an int8-quantized conv calibrated at
+    that scale) re-emits the output as int8 CODES — XLA fuses the
+    quantize into the conv epilogue, the in-between relu runs on int8, and
+    the consumer conv takes the pre-quantized s8 path: the separate
+    quantize pass and the bf16 activation round-trip both disappear."""
+    out = _conv2d(x, K, B, group=group, strides=strides, dilations=dilations,
+                  pads=pads, auto_pad=auto_pad)
+    if out_scale is None:
+        return out
+    return jnp.clip(jnp.round(out.astype(jnp.float32) / out_scale),
+                    -127, 127).astype(jnp.int8)
+
+
+def _conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
+            pads=(0, 0, 0, 0), auto_pad=None):
     kshape = K.q.shape if isinstance(K, QTensor) else K.shape
     strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
     dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
@@ -136,6 +163,15 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
         # (measured: +15% at batch>=32 on 56^2, -30% at batch<=8)
         and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000)
     if isinstance(K, QTensor):
+        # pre-quantized input: int8 activations are by contract CODES at
+        # K.act_scale (only ever produced by a fused stage64 whose
+        # out_scale annotation matched this conv's calibrated scale) —
+        # always take the s8 MXU path, no quantize pass, no volume gates
+        if (x.dtype == jnp.int8 and K.q.dtype == jnp.int8
+                and K.act_scale is not None and x.ndim == 4
+                and int(group) == 1):
+            return _conv_w8a8(x, K, B, strides, dilations, pads,
+                              pre_quantized=True)
         # W8A8: on layers with C_in >= 128 the s8 x s8 -> s32 MXU path is
         # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
         # activations quantize per-tensor dynamically. C=64 layers measured
@@ -961,16 +997,19 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
     return Y, Yh
 
 
-def stage64(x, Ws, Bs, *bw, blocks=None, force_decomposed=False):
+def stage64(x, Ws, Bs, *bw, blocks=None, out_scale=None,
+            force_decomposed=False):
     """Fused ResNet entry stage (stem + maxpool + C=64 basic blocks) — the
     hot 88% of the ResNet-18 step (experiments/prefix_profile_b64.json).
     Routes to the Pallas kernel chain on TPU with int8 weights + calibrated
     activation scales; decomposes to the exact replaced op chain elsewhere
-    (see ops/pallas/stage64.py).  ``force_decomposed`` (injected by
-    parallel.sharding via TracedProgram.op_overrides) keeps the op out of
-    Pallas under GSPMD, which cannot partition a pallas_call."""
+    (see ops/pallas/stage64.py).  ``out_scale`` makes the fused kernel emit
+    int8 codes for pre-quantized consumer convs (conv2d's s8 fast path);
+    ``force_decomposed`` (injected by parallel.sharding via
+    TracedProgram.op_overrides) keeps the op out of Pallas under GSPMD,
+    which cannot partition a pallas_call."""
     from .pallas import stage64 as _st
-    return _st.stage64(x, Ws, Bs, *bw, blocks=blocks,
+    return _st.stage64(x, Ws, Bs, *bw, blocks=blocks, out_scale=out_scale,
                        force_decomposed=force_decomposed)
 
 

@@ -27,14 +27,17 @@ from .padding import resolve_conv_pads, resolve_pool_pads
 # --------------------------------------------------------------------------
 
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
-           pads=(0, 0, 0, 0), auto_pad=None):
+           pads=(0, 0, 0, 0), auto_pad=None, out_scale=None):
     """2-D convolution, NCHW x OIHW.
 
     ``pads`` uses the ONNX layout (h_begin, w_begin, h_end, w_end) — the same
     contract the reference converter emits (io.py:97) and its kernels consume
     (util.py:23).  ``auto_pad`` (SAME_UPPER/SAME_LOWER) resolves to explicit
     pads from the input shape (the reference ignores the attribute,
-    io.py:92-116).
+    io.py:92-116).  ``out_scale`` (optimize.annotate_output_quant, the jax
+    path's int8 activation-code emission) is ignored: the oracle emits fp32,
+    and the elided quantization is part of the quantized program's accuracy
+    budget, not the oracle's.
     """
     if strides is None:
         strides = (1, 1)
@@ -741,11 +744,14 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
     return Y, Yh
 
 
-def stage64(x, Ws, Bs, *bw, blocks=None):
+def stage64(x, Ws, Bs, *bw, blocks=None, out_scale=None):
     """Oracle for the fused ResNet entry stage (optimize.fuse_stage64):
     exactly the op chain the fusion replaced — stem conv 7x7/2 + relu +
     maxpool 3x3/2 + N x [conv3x3-relu-conv3x3-add-relu] at C=64.  Weights
-    arrive as the fp32 dequant view (quant.dequant_weights)."""
+    arrive as the fp32 dequant view (quant.dequant_weights).  ``out_scale``
+    (the Pallas kernel's int8-emission annotation) is ignored: the oracle
+    emits fp32, and the activation quantization it elides on the TPU path
+    is part of the quantized program's accuracy budget, not the oracle's."""
     y = conv2d(x, Ws, Bs, strides=(2, 2), pads=(3, 3, 3, 3))
     y = relu(y)
     y = maxpool(y, w=(3, 3), pads=(1, 1, 1, 1), strides=(2, 2))

@@ -95,6 +95,15 @@ REQUANT = "trunc"
 # stay the default.
 IPR = 1
 
+# STEM dot formulation: "staged" = _build_B copies the 9 tap slices into one
+# (576, S) B matrix for a single M=256 K=576 dot (r2's fastest form);
+# "taps" = 9 per-tap M=256 K=64 dots straight from lane-offset slices of the
+# input buffer (no staging copies — the form that won for the blocks).
+# MEASURED: taps is 10% SLOWER end-to-end (2.250 vs 2.039 ms b64,
+# experiments/elide_ab.json) — at M=256 the MXU reloads 256x64 weights per
+# tap and the staged form's one weight load + long K amortizes better.
+STEM = "staged"
+
 _FXP_MMAX = 115
 
 
@@ -244,7 +253,7 @@ def _stage_kernel(*refs, g, nblocks, ipr, sxs, emit="bf16", fxp=False):
     o_ref = refs[5 + 6 * nblocks]
     scr = refs[6 + 6 * nblocks:]
     ys, y1s = (scr[:ipr], scr[ipr:2 * ipr]) if nblocks else ((), ())
-    B_ref, ph_ref = scr[-2], scr[-1]
+    B_ref, ph_ref = (None, scr[-1]) if STEM == "taps" else scr[-2:]
 
     RSg, Sg = g.RS, g.S
     stem_taps = [tr * RSg + tc for tr in range(3) for tc in range(3)]
@@ -280,12 +289,21 @@ def _stage_kernel(*refs, g, nblocks, ipr, sxs, emit="bf16", fxp=False):
         return acc
 
     # ---- stem + maxpool: ONE M=256 K=576 dot from a staged B matrix (the
-    # r2-measured fastest stem shape), then the pool on the raw int32
-    # accumulator (shared per-channel scale -> max commutes with the affine)
+    # r2-measured fastest stem shape) or 9 per-tap M=256 K=64 dots (STEM
+    # flag), then the pool on the raw int32 accumulator (shared per-channel
+    # scale -> max commutes with the affine)
     for p in range(ipr):
-        _build_B(B_ref, x_ref[p], 0, stem_taps, 64, Sg)
-        acc = jnp.dot(As_ref[...], B_ref[...],
-                      preferred_element_type=jnp.int32)      # (256, S)
+        if STEM == "taps":
+            acc = None
+            for t, off in enumerate(stem_taps):
+                d = jnp.dot(As_ref[:, t * 64:(t + 1) * 64],
+                            x_ref[p][:, off:off + Sg],
+                            preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+        else:
+            _build_B(B_ref, x_ref[p], 0, stem_taps, 64, Sg)
+            acc = jnp.dot(As_ref[...], B_ref[...],
+                          preferred_element_type=jnp.int32)  # (256, S)
         pooled = None
         for ph in range(4):
             v = jnp.where(cond, acc[ph * 64:(ph + 1) * 64], _NEG)
@@ -364,8 +382,8 @@ def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
         out_shape=jax.ShapeDtypeStruct((N, 64, g.BUF), odt),
         scratch_shapes=[pltpu.VMEM((64, g.BUF), jnp.int8)]
         * (2 * ipr if nblocks else 0)
-        + [pltpu.VMEM((576, g.S), jnp.int8),
-           pltpu.VMEM((64, HALO + g.S), jnp.int32)],
+        + ([] if STEM == "taps" else [pltpu.VMEM((576, g.S), jnp.int8)])
+        + [pltpu.VMEM((64, HALO + g.S), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * N * (256 + nblocks * 2 * 64) * 576 * g.S,
             bytes_accessed=N * 64 * (g.SBUF + 2 * g.BUF) + 9 * 64 * 576,
@@ -507,35 +525,48 @@ def _unpad(y, dtype, g):
     return y.astype(dtype)
 
 
-def _pallas_stage(x, Ws, Bs, blocks, interpret, g):
+def _pallas_stage(x, Ws, Bs, blocks, interpret, g, out_scale=None):
     """The fused TPU path.  Ws/W1/W2 are int8 QTensors with calibrated
     act_scales; biases are float arrays (or None).  All requant scales are
-    folded host-side so the kernel epilogues are single affine+clip chains."""
+    folded host-side so the kernel epilogues are single affine+clip chains.
+
+    ``out_scale`` (set by optimize.annotate_stage_output_quant when every
+    consumer is a quantized conv with this calibrated act_scale) makes the
+    final plane emit int8 activation CODES at that scale instead of bf16 —
+    the consumer convs then take jax_ops.conv2d's pre-quantized s8 path,
+    eliding both the stage's bf16 output traffic and their quantize pass.
+    Only the SPLIT chain and the stem-only stage implement it; the mega
+    kernel (an A/B probe path) ignores it and emits bf16, which consumers
+    handle through their normal float gates."""
     def bias(Bw):
         return (jnp.zeros((64,), jnp.float32) if Bw is None
                 else Bw.reshape(-1).astype(jnp.float32)).reshape(64, 1)
 
     s_in = float(Ws.act_scale)
-    # pooled -> block1 conv1; a stem-only stage (ResNet-50) emits bf16 raw
-    inv0 = 1.0 / float(blocks[0][0].act_scale) if blocks else 1.0
+    # pooled -> block1 conv1; a stem-only stage (ResNet-50) emits raw bf16
+    # unless out_scale asks for int8 codes
+    inv0 = (1.0 / float(blocks[0][0].act_scale) if blocks
+            else (1.0 / out_scale if out_scale else 1.0))
     x64 = _stem_prologue(x, s_in, g)
     A_s = _pack_stem_A(Ws.q)
     f_s = Ws.scale.reshape(64, 1).astype(jnp.float32) * (s_in * inv0)
     # +0.5 folded into every QUANTIZING bias: the kernel's f32->int8
     # conversion truncates, so trunc(v + 0.5) == round-half-up(v) for the
     # non-negative post-ReLU planes (bf16 outputs get the raw bias)
-    b_s = bias(Bs) * inv0 + (0.5 if blocks else 0.0)
+    b_s = bias(Bs) * inv0 + (0.5 if (blocks or out_scale) else 0.0)
 
     bw_args, sxs = [], []
     for bi, (W1, B1, W2, B2) in enumerate(blocks):
         sx_in = float(W1.act_scale)              # block input scale
         s_mid = float(W2.act_scale)
         last = bi == len(blocks) - 1
-        inv_out = 1.0 if last else 1.0 / float(blocks[bi + 1][0].act_scale)
+        inv_out = ((1.0 / out_scale if out_scale else 1.0) if last
+                   else 1.0 / float(blocks[bi + 1][0].act_scale))
         f1 = W1.scale.reshape(64, 1).astype(jnp.float32) * (sx_in / s_mid)
         b1 = bias(B1) / s_mid + 0.5
         f2 = W2.scale.reshape(64, 1).astype(jnp.float32) * (s_mid * inv_out)
-        b2 = bias(B2) * inv_out + (0.0 if last else 0.5)
+        quant_out = (not last) or bool(out_scale)
+        b2 = bias(B2) * inv_out + (0.5 if quant_out else 0.0)
         bw_args += [_pack_block_A(W1.q), f1, b1, _pack_block_A(W2.q), f2, b2]
         sxs.append(sx_in * inv_out)
 
@@ -551,7 +582,9 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g):
                         interpret, emit="int8", fxp=fxp)
         for bi in range(len(blocks)):
             A1, f1, b1, A2, f2, b2 = bw_args[6 * bi:6 * bi + 6]
-            last = bi == len(blocks) - 1
+            # with out_scale the final block uses the same quantizing
+            # trunc-fold epilogue as interior blocks (int8 out)
+            last = bi == len(blocks) - 1 and not out_scale
             if fxp:
                 E1 = (_fxp_pack(f1, b1),)
                 E2 = (f2, b2) if last else \
@@ -560,11 +593,16 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g):
                 E1, E2 = (f1, b1), (f2, b2)
             y = _call_block(y, mask, A1, E1, A2, E2, sxs[bi], g,
                             last, interpret, fxp, ipr=ipr)
-        return _unpad(y, x.dtype, g)
-    ipr = 1   # 2-image steps measured no faster and double the VMEM
-    y = _call_stage(x64, mask, A_s, f_s, b_s, bw_args, tuple(sxs),
-                    g, len(blocks), ipr, interpret)
-    return _unpad(y, x.dtype, g)
+        return _unpad(y, jnp.int8 if out_scale else x.dtype, g)
+    if blocks:
+        ipr = 1   # 2-image steps measured no faster and double the VMEM
+        y = _call_stage(x64, mask, A_s, f_s, b_s, bw_args, tuple(sxs),
+                        g, len(blocks), ipr, interpret)
+        return _unpad(y, x.dtype, g)   # mega kernel: bf16 (out_scale n/a)
+    emit = "int8" if out_scale else "bf16"
+    y = _call_stage(x64, mask, A_s, f_s, b_s, [], (), g, 0, 1,
+                    interpret, emit=emit)
+    return _unpad(y, jnp.int8 if out_scale else x.dtype, g)
 
 
 # --------------------------------------------------------------------------
@@ -614,12 +652,16 @@ def _eligible(x, Ws, bw):
     return g
 
 
-def stage64(x, Ws, Bs, *bw, blocks=None, interpret=None,
+def stage64(x, Ws, Bs, *bw, blocks=None, out_scale=None, interpret=None,
             force_decomposed=False):
     """Fused ResNet entry stage (stem + pool + C=64 basic blocks).
 
     Positional inputs: x, stem W, stem B, then (W1, B1, W2, B2) per block.
     ``blocks`` (IR kwarg) is informational; the weight count is the truth.
+    ``out_scale`` (IR kwarg, optimize.annotate_stage_output_quant) makes the
+    fused kernel emit int8 activation codes at that scale for pre-quantized
+    consumer convs; every fallback path ignores it and emits float, which
+    consumers handle through their normal gates — the output dtype decides.
     ``force_decomposed`` is how parallel.sharding keeps the pallas_call out
     of GSPMD-partitioned programs (it cannot be auto-partitioned).
     Fall-offs to the decomposed path on TPU are counted in ``FALLOFF``.
@@ -638,5 +680,6 @@ def stage64(x, Ws, Bs, *bw, blocks=None, interpret=None,
         g = _eligible(x, Ws, bw)
         if g is not None:
             bws = [tuple(bw[i:i + 4]) for i in range(0, len(bw), 4)]
-            return _pallas_stage(x, Ws, Bs, bws, bool(interpret), g)
+            return _pallas_stage(x, Ws, Bs, bws, bool(interpret), g,
+                                 out_scale=out_scale)
     return decomposed(x, Ws, Bs, *bw)

@@ -314,6 +314,95 @@ def fuse_stage64(net) -> int:
     return fused
 
 
+def annotate_output_quant(net) -> int:
+    """Quantized-activation chaining: mark every producer op (conv or fused
+    stage64) whose output — looking THROUGH relu, which is exact on int8
+    codes — feeds ONLY int8-quantized convs sharing one calibrated
+    activation scale.  The producer gets that scale as its ``out_scale``
+    kwarg and emits int8 activation CODES (XLA fuses the quantize into the
+    conv epilogue; ops/pallas/stage64 emits them natively), the in-between
+    relu runs on int8, and the consumer convs take jax_ops.conv2d's
+    pre-quantized s8 MXU path — so the separate quantize pass AND the bf16
+    activation round-trip both disappear from every conv-relu-conv chain
+    (ResNet basic blocks: 1 edge per block; bottlenecks: 2).
+
+    Consumers must have C_in >= 128: feeding pre-quantized codes FORCES the
+    s8 conv path, and C<128 s8 convs measured slower than bf16 (so e.g. the
+    ResNet entry stage's C=64-consumer edge stays bf16 — measured 3% net
+    regression when annotated, experiments/elide_ab.json).
+
+    Run AFTER quantize_net + fuse_stage64 with calibrated act_scales in
+    graph.meta.  Safe by construction: every non-annotated or fallback path
+    emits float and consumers follow their normal dtype-driven gates.
+    Returns the number of producers annotated."""
+    graph: Graph = net.graph
+    scales = graph.meta.get("act_scales", {})
+    if not scales or not graph.quant:
+        return 0
+    layers = graph.layer_map()
+    inits = set(graph.init_names())
+    ishape = {n: tuple(s) for n, s, _ in graph.inits}
+    outputs = set(graph.flow[-1].dst)
+
+    def consumers(y):
+        """Every (layer, src) application reading tensor y."""
+        for e2 in graph.flow:
+            for li, lname in enumerate(e2.layers):
+                src = e2.src if li == 0 else e2.dst
+                if y in src:
+                    yield e2, li, layers[lname], src
+
+    def sink_scale(y, depth=0):
+        """The shared consumer act scale, or None if any consumer is not an
+        int8 static-scale conv (looking through single-layer relu edges)."""
+        if y in outputs or depth > 2:
+            return None
+        found = []
+        for e2, li, l2, src in consumers(y):
+            if l2.op == "relu" and li == 0 and len(e2.layers) == 1 \
+                    and src == [y]:
+                s = sink_scale(e2.dst[0], depth + 1)
+                if s is None:
+                    return None
+                found.append(s)
+                continue
+            w = src[1] if len(src) > 1 else None
+            if (l2.op == "conv" and src[0] == y and src.count(y) == 1
+                    and w in inits and w in graph.quant
+                    and graph.quant[w].get("mode") == "int8"
+                    and w in scales
+                    and int(l2.kwargs.get("group", 1)) == 1
+                    and len(ishape.get(w, ())) == 4
+                    and ishape[w][1] >= 128):
+                found.append(float(scales[w]))
+            else:
+                return None
+        if found and all(s == found[0] for s in found):
+            return found[0]
+        return None
+
+    n = 0
+    for e in graph.flow:
+        if len(e.layers) != 1:
+            continue
+        lay = layers[e.layers[0]]
+        if lay.op not in ("stage64", "conv"):
+            continue
+        # a conv producer must itself run on the jax path that implements
+        # out_scale emission (any conv2d path does; grouped convs included)
+        s = sink_scale(e.dst[0])
+        if s is not None:
+            lay.kwargs["out_scale"] = s
+            n += 1
+    if n:
+        net._invalidate()
+    return n
+
+
+# round-2 name for the stage64-only version of the pass
+annotate_stage_output_quant = annotate_output_quant
+
+
 def optimize(net) -> dict:
     """Run all IR optimization passes; returns per-pass counts."""
     report = {"fold_bn_into_conv": fold_bn_into_conv(net),

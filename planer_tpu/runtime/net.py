@@ -87,10 +87,15 @@ class Net:
         if fuse is None:
             fuse = activations == "static" and mode == "int8"
         if fuse:
-            from ..optimize import fuse_stage64, fuse_stagen
+            from ..optimize import (annotate_output_quant,
+                                    fuse_stage64, fuse_stagen)
             fuse_stage64(self)
             if fuse == "all":
                 fuse_stagen(self)
+            # conv-relu-conv chains whose consumers are C>=128 quantized
+            # convs emit int8 codes directly (consumers skip their
+            # quantize pass and the bf16 activation round-trip)
+            annotate_output_quant(self)
         self._invalidate()
         return self
 

@@ -80,12 +80,19 @@ def test_quantize_static_autofuses_and_oracle_runs():
     assert any(l.op == "stage64" for l in net.graph.layers)
     x = np.random.default_rng(1).standard_normal((1, 3, 224, 224)).astype(
         np.float32)
-    y_jit = np.asarray(net.program(x))       # CPU -> decomposed path
-    y_orc = np.asarray(net.oracle.run(x))    # fp32 dequant view
-    # int8 weight quantization level differences only
+    y_jit = np.asarray(net.program(x))       # CPU -> decomposed stage64, but
+    y_orc = np.asarray(net.oracle.run(x))    # WITH the chained act quant
+    # int8 weight quantization + the annotate_output_quant static activation
+    # quantization (now active on every backend, not just TPU batch shapes)
     rel = np.abs(y_jit - y_orc).max() / (np.abs(y_orc).max() + 1e-9)
-    assert rel < 0.05
-    assert y_jit.argmax() == y_orc.argmax()
+    assert rel < 0.25
+    # argmax agreement holds on the CALIBRATION distribution (structured
+    # synthetic images); raw gaussian noise clips against the static scales
+    xs = np.concatenate(list(ev.synthetic_images(4, (3, 224, 224), seed=21,
+                                                 batch=2)))
+    agree = (np.asarray(net.program(xs)).argmax(1)
+             == np.asarray(net.oracle.run(xs)).argmax(1)).mean()
+    assert agree >= 0.75, agree
 
 
 def test_pla_roundtrip_of_fused_graph(tmp_path):
@@ -277,3 +284,84 @@ def test_calibrate_on_already_fused_graph(tmp_path):
     for w in stage_ws:
         if w in ref:
             np.testing.assert_allclose(scales[w], ref[w], rtol=0.2)
+
+
+# ------------------------------------------------- int8 output (out_scale)
+
+@pytest.mark.slow
+def test_pallas_interpret_out_scale_emits_codes():
+    """With out_scale the kernel chain's final plane emits int8 activation
+    CODES: dequantizing them must match the bf16-emitting run to within one
+    quantization step (the only new error source is that final quantize)."""
+    rng = np.random.default_rng(11)
+    x, Ws, Bs, blocks, bw = _rand_stage_inputs(rng, 224, 2)
+    ref = np.asarray(_simulate(jnp.asarray(x), Ws, Bs, blocks), np.float32)
+    s_out = float(ref.max()) / 126.0       # a calibration-like scale
+    q = np.asarray(st.stage64(x, Ws, Bs, *bw, out_scale=s_out,
+                              interpret=True))
+    assert q.dtype == np.int8 and q.shape == (2, 64, 56, 56)
+    assert q.min() >= 0 and q.max() <= 127
+    deq = q.astype(np.float32) * s_out
+    assert np.abs(deq - ref).max() <= s_out * (1 + 1e-3)
+    # and the stem-only (0-block) emission path
+    ref0 = np.asarray(_simulate(jnp.asarray(x), Ws, Bs, []), np.float32)
+    s0 = float(ref0.max()) / 126.0
+    q0 = np.asarray(st.stage64(x, Ws, Bs, out_scale=s0, interpret=True))
+    assert q0.dtype == np.int8
+    assert np.abs(q0.astype(np.float32) * s0 - ref0).max() \
+        <= s0 * (1 + 1e-3)
+
+
+def test_conv2d_prequantized_int8_input():
+    """conv2d on int8 input = pre-quantized codes at K.act_scale: must equal
+    the reference s8 conv + dequant with NO quantize pass, emitting bf16."""
+    from planer_tpu.ops import jax_ops as jops
+    rng = np.random.default_rng(13)
+    K = _rand_qtensor(rng, (32, 16, 3, 3), act_scale=0.02)
+    B = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1)
+    codes = jnp.asarray(rng.integers(-127, 128, size=(2, 16, 10, 10),
+                                     dtype=np.int8))
+    y = jops.conv2d(codes, K, B, strides=(2, 2), pads=(1, 1, 1, 1))
+    assert y.dtype == jnp.bfloat16
+    acc = lax.conv_general_dilated(
+        codes.astype(jnp.float32), K.q.astype(jnp.float32), (2, 2),
+        ((1, 1), (1, 1)), dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    ref = acc * (0.02 * K.scale.reshape(1, -1, 1, 1)) \
+        + B.reshape(1, -1, 1, 1)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_annotate_output_quant_resnet18():
+    """net.quantize(activations='static') annotates every conv-relu-conv
+    chain whose consumer is a C>=128 int8 conv with the consumer's
+    calibrated scale; the stage64 stays UN-annotated (its consumers are
+    C=64 convs, where forcing the s8 path measured a 3% net regression —
+    experiments/elide_ab.json); codes flow producer -> relu -> consumer."""
+    net = _calibrated_quant_net()
+    graph = net.graph
+    stage = next(l for l in graph.layers if l.op == "stage64")
+    assert "out_scale" not in stage.kwargs, stage.kwargs
+    ann = [l for l in graph.layers
+           if l.op == "conv" and l.kwargs.get("out_scale")]
+    # ResNet-18 body: one conv1->relu->conv2 edge per basic block in l2-l4
+    assert len(ann) == 6, [l.name for l in ann]
+    scales = graph.meta["act_scales"]
+    layers = graph.layer_map()
+    name_to_edge = {e.layers[0]: e for e in graph.flow if len(e.layers) == 1}
+    for l in ann:
+        y = name_to_edge[l.name].dst[0]
+        relu_e = next(e for e in graph.flow if e.src == [y])
+        assert layers[relu_e.layers[0]].op == "relu"
+        cons = [e for e in graph.flow if e.src and e.src[0] == relu_e.dst[0]]
+        assert cons, l.name
+        for e2 in cons:
+            w = e2.src[1]
+            assert scales[w] == l.kwargs["out_scale"]
+    # the chain runs on CPU too: argmax agreement on the calibration
+    # distribution (gaussian noise clips against the static scales)
+    xs = np.concatenate(list(ev.synthetic_images(4, (3, 224, 224), seed=22,
+                                                 batch=2)))
+    agree = (np.asarray(net.program(xs)).argmax(1)
+             == np.asarray(net.oracle.run(xs)).argmax(1)).mean()
+    assert agree >= 0.75, agree
