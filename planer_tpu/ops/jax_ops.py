@@ -100,7 +100,8 @@ def _stacked_conv3x3_q(x, K, B):
     return out
 
 
-def _conv_w8a8(x, K, B, strides, dilations, pads, pre_quantized=False):
+def _conv_w8a8(x, K, B, strides, dilations, pads, pre_quantized=False,
+               compute_dtype=None):
     """Per-tensor activation quant + s8 x s8 -> s32 conv + dequant.  The
     scale is a baked calibration constant when available (no reduction pass),
     else computed dynamically per call.
@@ -108,11 +109,12 @@ def _conv_w8a8(x, K, B, strides, dilations, pads, pre_quantized=False):
     ``pre_quantized``: x already holds int8 activation CODES at K.act_scale
     (emitted by a fused stage64 with out_scale == this conv's calibrated
     scale — optimize.annotate_stage_output_quant): skip the quantize pass
-    entirely and emit bfloat16 (the pre-quantized contract only arises on
-    the TPU fused path, whose compute dtype is bf16)."""
+    and emit the program compute dtype (the tracer injects it; bf16 on the
+    TPU serving path, fp32 when the surrounding program is fp32)."""
     pt, pl, pb, pr = pads
     if pre_quantized:
-        q, sx, odt = x, jnp.float32(K.act_scale), jnp.bfloat16
+        odt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
+        q, sx = x, jnp.float32(K.act_scale)
     else:
         (q, sx), odt = _act_quant(x, K), x.dtype
     acc = lax.conv_general_dilated(
@@ -127,7 +129,8 @@ def _conv_w8a8(x, K, B, strides, dilations, pads, pre_quantized=False):
 
 
 def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
-           pads=(0, 0, 0, 0), auto_pad=None, out_scale=None):
+           pads=(0, 0, 0, 0), auto_pad=None, out_scale=None,
+           compute_dtype=None):
     """2-D convolution with optional int8 activation-code emission.
 
     ``out_scale`` (set by optimize.annotate_output_quant when every
@@ -135,9 +138,12 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
     that scale) re-emits the output as int8 CODES — XLA fuses the
     quantize into the conv epilogue, the in-between relu runs on int8, and
     the consumer conv takes the pre-quantized s8 path: the separate
-    quantize pass and the bf16 activation round-trip both disappear."""
+    quantize pass and the bf16 activation round-trip both disappear.
+
+    ``compute_dtype`` (tracer-injected program compute dtype) only matters
+    on the pre-quantized path, whose int8 input carries no float dtype."""
     out = _conv2d(x, K, B, group=group, strides=strides, dilations=dilations,
-                  pads=pads, auto_pad=auto_pad)
+                  pads=pads, auto_pad=auto_pad, compute_dtype=compute_dtype)
     if out_scale is None:
         return out
     return jnp.clip(jnp.round(out.astype(jnp.float32) / out_scale),
@@ -145,7 +151,7 @@ def conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
 
 
 def _conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
-            pads=(0, 0, 0, 0), auto_pad=None):
+            pads=(0, 0, 0, 0), auto_pad=None, compute_dtype=None):
     kshape = K.q.shape if isinstance(K, QTensor) else K.shape
     strides = (1, 1) if strides is None else tuple(int(s) for s in strides)
     dilations = (1, 1) if dilations is None else tuple(int(d) for d in dilations)
@@ -171,7 +177,8 @@ def _conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
                 and K.act_scale is not None and x.ndim == 4
                 and int(group) == 1):
             return _conv_w8a8(x, K, B, strides, dilations, pads,
-                              pre_quantized=True)
+                              pre_quantized=True,
+                              compute_dtype=compute_dtype)
         # W8A8: on layers with C_in >= 128 the s8 x s8 -> s32 MXU path is
         # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
         # activations quantize per-tensor dynamically. C=64 layers measured

@@ -337,7 +337,11 @@ def annotate_output_quant(net) -> int:
     Returns the number of producers annotated."""
     graph: Graph = net.graph
     scales = graph.meta.get("act_scales", {})
-    if not scales or not graph.quant:
+    # consumers rebuild values as codes * act_scale only when the program is
+    # statically activation-quantized (quant.py param_transform); annotating
+    # a dynamic/float program would emit codes nothing decodes
+    if not scales or not graph.quant \
+            or graph.meta.get("act_quant") != "static":
         return 0
     layers = graph.layer_map()
     inits = set(graph.init_names())

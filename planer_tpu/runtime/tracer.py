@@ -192,6 +192,13 @@ class TracedProgram:
         materialize = self._materialize
         overrides = self.op_overrides
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        if cdt is not None:
+            # ops whose quantized fast paths cannot infer the program compute
+            # dtype from their (int8) inputs get it injected as a kwarg
+            overrides = dict(overrides)
+            for op in ("conv",):
+                overrides[op] = {**overrides.get(op, {}),
+                                 "compute_dtype": self.compute_dtype}
 
         def cast_in(v):
             if cdt is not None and hasattr(v, "dtype") \
@@ -199,12 +206,24 @@ class TracedProgram:
                 return v.astype(cdt)
             return v
 
+        # int8 GRAPH INPUTS are user values, never activation codes: in a
+        # quantized program the pre-quantized s8 conv gate (jax_ops._conv2d)
+        # keys on dtype alone, so genuine int8 data must be lifted to float
+        # at the boundary (params/weights are NOT lifted — fused kernels
+        # stream raw int8 payloads)
+        quantized = bool(graph.quant)
+
+        def cast_graph_in(v):
+            if quantized and hasattr(v, "dtype") and v.dtype == jnp.int8:
+                return v.astype(cdt or jnp.float32)
+            return cast_in(v)
+
         def fn(params, *xs):
             env: dict[str, Any] = {}                 # dynamic values (jax)
             senv: dict[str, Any] = {"None": None}    # static values (numpy)
             senv.update(name_to_w)
             for n, x in zip(graph.inputs, xs):
-                env[n] = cast_in(x)
+                env[n] = cast_graph_in(x)
 
             for rec in plan.records:
                 edge = graph.flow[rec.edge]

@@ -314,14 +314,18 @@ def test_pallas_interpret_out_scale_emits_codes():
 
 def test_conv2d_prequantized_int8_input():
     """conv2d on int8 input = pre-quantized codes at K.act_scale: must equal
-    the reference s8 conv + dequant with NO quantize pass, emitting bf16."""
+    the reference s8 conv + dequant with NO quantize pass, emitting the
+    program compute dtype (bf16 when the tracer injects it, fp32 default)."""
     from planer_tpu.ops import jax_ops as jops
     rng = np.random.default_rng(13)
     K = _rand_qtensor(rng, (32, 16, 3, 3), act_scale=0.02)
     B = jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1)
     codes = jnp.asarray(rng.integers(-127, 128, size=(2, 16, 10, 10),
                                      dtype=np.int8))
-    y = jops.conv2d(codes, K, B, strides=(2, 2), pads=(1, 1, 1, 1))
+    assert jops.conv2d(codes, K, B, strides=(2, 2),
+                       pads=(1, 1, 1, 1)).dtype == jnp.float32
+    y = jops.conv2d(codes, K, B, strides=(2, 2), pads=(1, 1, 1, 1),
+                    compute_dtype="bfloat16")
     assert y.dtype == jnp.bfloat16
     acc = lax.conv_general_dilated(
         codes.astype(jnp.float32), K.q.astype(jnp.float32), (2, 2),
@@ -365,3 +369,57 @@ def test_annotate_output_quant_resnet18():
     agree = (np.asarray(net.program(xs)).argmax(1)
              == np.asarray(net.oracle.run(xs)).argmax(1)).mean()
     assert agree >= 0.75, agree
+
+
+def test_quantize_static_nofuse_tight_oracle_parity():
+    """Companion to the loosened annotated-path gate (ADVICE r3): with the
+    annotation machinery OFF (fuse=False) the quantized jit path must stay in
+    tight lockstep with the fp32-dequant oracle — rel < 0.05 and exact
+    argmax — so oracle diffing still catches moderate numeric bugs on the
+    plain W8A8 static path."""
+    net = models.resnet18()
+    net.optimize()
+    calibrate_act_scales(net, ev.synthetic_images(2, (3, 224, 224), seed=3,
+                                                  batch=1))
+    net.quantize("int8", activations="static", fuse=False)
+    assert not any(l.kwargs.get("out_scale") for l in net.graph.layers)
+    xs = np.concatenate(list(ev.synthetic_images(4, (3, 224, 224), seed=31,
+                                                 batch=2)))
+    y_jit = np.asarray(net.program(xs))
+    y_orc = np.asarray(net.oracle.run(xs))
+    rel = np.abs(y_jit - y_orc).max() / (np.abs(y_orc).max() + 1e-9)
+    assert rel < 0.05, rel
+    assert (y_jit.argmax(1) == y_orc.argmax(1)).all()
+
+
+def test_annotate_requires_static_activations():
+    """ADVICE r3 (medium): quantize(activations='dynamic', fuse=True) after
+    a prior calibration must NOT annotate out_scale — a dynamic program has
+    no static consumer scales, so annotated codes would decode to garbage.
+    The gate is graph.meta['act_quant'] == 'static'."""
+    net = models.resnet18()
+    net.optimize()
+    calibrate_act_scales(net, ev.synthetic_images(2, (3, 224, 224), seed=3,
+                                                  batch=1))
+    net.quantize("int8", activations="dynamic", fuse=True)
+    assert net.graph.meta.get("act_scales")          # calibration persisted
+    assert not any(l.kwargs.get("out_scale") for l in net.graph.layers)
+    xs = np.concatenate(list(ev.synthetic_images(2, (3, 224, 224), seed=33,
+                                                 batch=1)))
+    y_jit = np.asarray(net.program(xs))
+    y_orc = np.asarray(net.oracle.run(xs))
+    rel = np.abs(y_jit - y_orc).max() / (np.abs(y_orc).max() + 1e-9)
+    assert rel < 0.1, rel   # dynamic per-tensor quant, no silent garbage
+
+
+def test_int8_graph_inputs_are_values_not_codes():
+    """ADVICE r3: genuine int8 image data fed to a statically quantized net
+    must be treated as VALUES — the tracer lifts int8 graph inputs to float
+    at the boundary so the pre-quantized code gate can only see internally
+    produced codes."""
+    net = _calibrated_quant_net()
+    rng = np.random.default_rng(7)
+    x8 = rng.integers(-4, 5, size=(1, 3, 224, 224), dtype=np.int8)
+    y8 = np.asarray(net.program(x8))
+    yf = np.asarray(net.program(x8.astype(np.float32)))
+    np.testing.assert_allclose(y8, yf, rtol=1e-3, atol=1e-3)
