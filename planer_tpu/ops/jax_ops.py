@@ -1005,7 +1005,7 @@ def gru(X, W, R, B=None, sequence_lens=None, initial_h=None,
 
 
 def stage64(x, Ws, Bs, *bw, blocks=None, out_scale=None,
-            force_decomposed=False):
+            force_decomposed=False, interpret=None):
     """Fused ResNet entry stage (stem + maxpool + C=64 basic blocks) — the
     hot 88% of the ResNet-18 step (experiments/prefix_profile_b64.json).
     Routes to the Pallas kernel chain on TPU with int8 weights + calibrated
@@ -1017,7 +1017,7 @@ def stage64(x, Ws, Bs, *bw, blocks=None, out_scale=None,
     which cannot partition a pallas_call."""
     from .pallas import stage64 as _st
     return _st.stage64(x, Ws, Bs, *bw, blocks=blocks, out_scale=out_scale,
-                       force_decomposed=force_decomposed)
+                       force_decomposed=force_decomposed, interpret=interpret)
 
 
 def stagen(x, *w, blocks=None, force_decomposed=False):

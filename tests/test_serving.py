@@ -281,3 +281,58 @@ def test_hw_bucket_net_segmentation_positive_signal(rng):
         sig = eng._sig_cache.get((1, 64, 64))
     assert out.shape == (2, 44, 52)
     assert sig and sig[0] == (1.0, 1.0)
+
+
+@pytest.mark.slow
+def test_serving_hw_bucket_keeps_stage64_fast_path(rng):
+    """VERDICT r3 #7: a ServingEngine at an hw_bucket geometry must run the
+    FUSED stage64 path — FALLOFF unchanged (the experiments' FALLOFF == 0
+    assertion, now enforced at the serving layer).  The Pallas chain is
+    engaged off-TPU via the interpret-mode op override; any eligibility
+    regression (geometry gate, weight plumbing, bucket padding) shows up as
+    a FALLOFF bump, not a silent decomposition."""
+    from planer_tpu.models import eval as ev
+    from planer_tpu.ops.pallas import stage64 as st
+    from planer_tpu.quant import calibrate_act_scales
+
+    net = models.resnet18(num_classes=8)
+    net.optimize()
+    calibrate_act_scales(net, ev.synthetic_images(1, (3, 224, 224), seed=3,
+                                                  batch=1))
+    net.quantize("int8", activations="static")
+    prog = net.program
+    prog.op_overrides = {"stage64": {"interpret": True}}
+    prog._cache.clear()
+    st.FALLOFF.clear()
+    with ServingEngine(net, buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(224,)) as eng:
+        x = rng.standard_normal((3, 200, 210)).astype(np.float32)
+        out = eng.infer(x)                      # pads to the 224 bucket
+        assert out.shape == (8,)
+        st_stats = eng.stats()
+    assert not st.FALLOFF, dict(st.FALLOFF)     # fused path actually engaged
+    assert "fused_stage_falloff" not in st_stats, st_stats
+
+
+def test_serving_offgrid_bucket_falls_off_visibly(rng):
+    """Control for the fast-path test: a bucket OFF the kernel geometry grid
+    (220 -> R=55 needs RS=128, S > VMEM cap) must decompose AND say so in
+    FALLOFF — never silently."""
+    from planer_tpu.models import eval as ev
+    from planer_tpu.ops.pallas import stage64 as st
+    from planer_tpu.quant import calibrate_act_scales
+
+    net = models.resnet18(num_classes=8)
+    net.optimize()
+    calibrate_act_scales(net, ev.synthetic_images(1, (3, 220, 220), seed=3,
+                                                  batch=1))
+    net.quantize("int8", activations="static")
+    prog = net.program
+    prog.op_overrides = {"stage64": {"interpret": True}}
+    prog._cache.clear()
+    st.FALLOFF.clear()
+    with ServingEngine(net, buckets=(1,), max_delay_ms=1,
+                       hw_buckets=(220,)) as eng:
+        out = eng.infer(rng.standard_normal((3, 220, 220)).astype(np.float32))
+        assert out.shape == (8,)
+    assert st.FALLOFF.get("geometry", 0) >= 1, dict(st.FALLOFF)
