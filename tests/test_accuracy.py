@@ -40,6 +40,7 @@ def test_budget_weight_only_int8():
     _budget_check(fp, q)
 
 
+@pytest.mark.slow
 def test_budget_w8a8_dynamic():
     fp = models.resnet18()
     q = models.resnet18()
@@ -48,6 +49,7 @@ def test_budget_w8a8_dynamic():
     _budget_check(fp, q)
 
 
+@pytest.mark.slow
 def test_budget_w8a8_static_calibrated():
     fp = models.resnet18()
     q = models.resnet18()
@@ -79,6 +81,7 @@ def test_layer_quant_errors_ranking():
         errs.items(), key=lambda kv: -kv[1])[:3]
 
 
+@pytest.mark.slow
 def test_quantize_auto_success_and_fallback_loop():
     """Budget met at trial 0 -> no fallback; unachievable budget -> the loop
     skips the worst layers in error order and fails loudly after
@@ -112,6 +115,7 @@ def _tame_heads(net, f=0.02):
     return net
 
 
+@pytest.mark.slow
 def test_detection_agreement_quantized():
     """YOLO mAP-proxy: quantized-vs-fp32 detection agreement at >= 0.95.
 
@@ -138,6 +142,7 @@ def test_detection_agreement_quantized():
     assert self_r["f1"] == 1.0, self_r
 
 
+@pytest.mark.slow
 def test_detection_agreement_negative_control():
     """The margin-filtered metric must still CATCH real damage: 15%
     multiplicative weight noise on the detection heads (far beyond any int8

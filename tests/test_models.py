@@ -165,6 +165,7 @@ def test_unet_quantized_parity(rng):
     assert rel < 0.05, f"unet int8 rel err {rel}"
 
 
+@pytest.mark.slow
 def test_yolov3_in_graph_decode(rng):
     """In-graph decode matches the host decoder exactly (the shape/grid
     chain hoists to trace time; only sigmoid/exp/mul stay on device)."""

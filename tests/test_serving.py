@@ -314,6 +314,7 @@ def test_serving_hw_bucket_keeps_stage64_fast_path(rng):
     assert "fused_stage_falloff" not in st_stats, st_stats
 
 
+@pytest.mark.slow
 def test_serving_offgrid_bucket_falls_off_visibly(rng):
     """Control for the fast-path test: a bucket OFF the kernel geometry grid
     (220 -> R=55 needs RS=128, S > VMEM cap) must decompose AND say so in

@@ -75,6 +75,7 @@ def test_fused_fp32_parity_with_unfused():
     np.testing.assert_allclose(y_fused, y_ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_quantize_static_autofuses_and_oracle_runs():
     net = _calibrated_quant_net()
     assert any(l.op == "stage64" for l in net.graph.layers)
@@ -261,6 +262,7 @@ def test_falloff_counter_and_geometry():
         assert geo.S <= st._S_MAX
 
 
+@pytest.mark.slow
 def test_calibrate_on_already_fused_graph(tmp_path):
     """ADVICE r2: calibrating a net whose graph already contains stage64
     (e.g. loaded from a fused .pla) must record act scales for the stage's
@@ -336,6 +338,7 @@ def test_conv2d_prequantized_int8_input():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_annotate_output_quant_resnet18():
     """net.quantize(activations='static') annotates every conv-relu-conv
     chain whose consumer is a C>=128 int8 conv with the consumer's
@@ -371,6 +374,7 @@ def test_annotate_output_quant_resnet18():
     assert agree >= 0.75, agree
 
 
+@pytest.mark.slow
 def test_quantize_static_nofuse_tight_oracle_parity():
     """Companion to the loosened annotated-path gate (ADVICE r3): with the
     annotation machinery OFF (fuse=False) the quantized jit path must stay in
