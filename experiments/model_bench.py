@@ -1,4 +1,13 @@
-"""One-off UNet / YOLO-v3 on-device benchmarks (BASELINE.md configs)."""
+"""Model-family on-device benchmarks at the CURRENT runtime (VERDICT r4 #5).
+
+Re-measures the BASELINE.md family configs with every optimization the
+runtime has gained since the round-1 numbers: BN folding, calibrated static
+activation scales, W8A8 convs, stage64 fusion + output-quant chaining.
+
+Usage: python experiments/model_bench.py [unet|yolo|resnet50|all]
+Writes/merges experiments/model_bench_r4.json (one entry per family).
+"""
+import json
 import os
 import sys
 import time
@@ -15,6 +24,12 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from planer_tpu import models  # noqa: E402
+from planer_tpu.models import eval as ev  # noqa: E402
+from planer_tpu.quant import calibrate_act_scales  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
 
 
 def bench_net(net, x, n1=5, n2=55):
@@ -41,31 +56,58 @@ def bench_net(net, x, n1=5, n2=55):
 
     t0 = time.perf_counter()
     t(n1, reps=1)
-    print(f"  compile+warm {time.perf_counter()-t0:.1f}s", file=sys.stderr,
-          flush=True)
+    log(f"  compile+warm {time.perf_counter()-t0:.1f}s")
     return max((t(n2) - t(n1)) / (n2 - n1), 1e-9)
+
+
+def prep(net, shape, calib=2):
+    """optimize + calibrate + static-int8 quantize + bf16 (the bench.py
+    recipe, i.e. the serving default)."""
+    net.optimize()
+    t0 = time.perf_counter()
+    calibrate_act_scales(net, ev.synthetic_images(calib, shape, seed=11,
+                                                  batch=1))
+    log(f"  calibration {time.perf_counter()-t0:.1f}s")
+    net.quantize("int8", activations="static")
+    net.astype_compute("bfloat16")
+    return net
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    results = {}
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
     if which in ("unet", "all"):
-        net = models.unet(in_ch=1, out_ch=1, base=32, depth=4)
-        net.quantize("int8")
-        net.astype_compute("bfloat16")
+        net = prep(models.unet(in_ch=1, out_ch=1, base=32, depth=4),
+                   (1, 512, 512), calib=1)
         x = jnp.zeros((1, 1, 512, 512), jnp.float32)
         dt = bench_net(net, x)
-        print(f"UNet-512 int8+bf16 batch1: {dt*1e3:.2f} ms/img "
-              f"({1/dt:.1f} img/s)")
+        results["unet512_b1"] = {"step_ms": dt * 1e3, "img_s": 1 / dt}
+        log(f"UNet-512 W8A8-static b1: {dt*1e3:.2f} ms ({1/dt:.0f} img/s)")
 
     if which in ("yolo", "all"):
-        net = models.yolov3()
-        net.quantize("int8")
-        net.astype_compute("bfloat16")
+        net = prep(models.yolov3(), (3, 416, 416), calib=1)
         x = jnp.zeros((8, 3, 416, 416), jnp.float32)
         dt = bench_net(net, x)
-        print(f"YOLOv3-416 int8+bf16 batch8: {dt*1e3:.2f} ms/batch "
-              f"({8/dt:.1f} img/s)")
+        results["yolov3_416_b8"] = {"step_ms": dt * 1e3, "img_s": 8 / dt}
+        log(f"YOLOv3-416 W8A8-static b8: {dt*1e3:.2f} ms ({8/dt:.0f} img/s)")
+
+    if which in ("resnet50", "all"):
+        net = prep(models.resnet50(), (3, 224, 224), calib=2)
+        x = jnp.zeros((32, 3, 224, 224), jnp.float32)
+        dt = bench_net(net, x)
+        results["resnet50_224_b32"] = {"step_ms": dt * 1e3, "img_s": 32 / dt}
+        log(f"ResNet-50 W8A8-static b32: {dt*1e3:.2f} ms ({32/dt:.0f} img/s)")
+
+    path = "experiments/model_bench_r4.json"
+    merged = {}
+    if os.path.exists(path):
+        merged = json.load(open(path))
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    log("wrote " + path)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,31 @@ class Net:
         self.weights = unpack_weights(self.graph, np.asarray(blob))
         self._invalidate()
 
+    def load_state(self, state: dict, strict: bool = False) -> int:
+        """Load real (e.g. pretrained) weights from a name->array dict —
+        the hook that upgrades the synthetic-weight accuracy proxy to real
+        numbers the moment a checkpoint is available (models.eval.
+        load_real_weights finds one in the zoo cache dir).  Call BEFORE
+        quantize(): entries must match the fp32 init shapes.  Returns the
+        number of weights loaded; ``strict`` errors on unknown names."""
+        idx = self.graph.init_index()
+        n = 0
+        for name, arr in state.items():
+            i = idx.get(name)
+            if i is None:
+                if strict:
+                    raise KeyError(f"unknown init {name!r}")
+                continue
+            arr = np.asarray(arr)
+            want = self.weights[i]
+            if tuple(arr.shape) != tuple(want.shape):
+                raise ValueError(
+                    f"{name}: shape {arr.shape} != init {want.shape}")
+            self.weights[i] = np.ascontiguousarray(arr, dtype=want.dtype)
+            n += 1
+        self._invalidate()
+        return n
+
     # ------------------------------------------------------------ precision
     def half(self, dtype: str = "float16"):
         """Cast fp32 weights down (reference net.py:26-29).  On TPU prefer
