@@ -451,26 +451,27 @@ def main():
                             (x64u,))
 
     # ---- correctness gates (exact integer math -> exact agreement)
+    # agreement is reduced ON DEVICE: fetching full (64, 64, 3840) outputs
+    # through the ~28 MB/s relay costs ~10 min each
+    dev_agree = jax.jit(lambda a, b: jnp.mean((a == b).astype(jnp.float32)))
+
     results = {}
     if not want or {"block_pair", "block_tri", "block_cur"} & want:
-        y_cur = np.asarray(probes["block_cur"][0](x))
+        y_cur = probes["block_cur"][0](x)
         for name in ("block_pair", "block_tri"):
-            yv = np.asarray(probes[name][0](x))
-            agree = float((yv == y_cur).mean())
+            agree = float(dev_agree(probes[name][0](x), y_cur))
             results[f"{name}_agreement"] = agree
             log(f"{name} vs block_cur agreement: {agree:.6f}")
             assert agree == 1.0, f"{name} mismatch"
-        y_curf = np.asarray(probes["block_cur_fxp"][0](x))
+        y_curf = probes["block_cur_fxp"][0](x)
         for name in ("block_pair_fxp", "block_tri_fxp"):
-            yv = np.asarray(probes[name][0](x))
-            agree = float((yv == y_curf).mean())
+            agree = float(dev_agree(probes[name][0](x), y_curf))
             results[f"{name}_agreement"] = agree
             log(f"{name} vs block_cur_fxp agreement: {agree:.6f}")
             assert agree == 1.0, f"{name} mismatch"
     if not want or {"stem_union", "stem_cur"} & want:
-        y_sc = np.asarray(probes["stem_cur"][0](x64c))
-        y_su = np.asarray(probes["stem_union"][0](x64u))
-        agree = float((y_su == y_sc).mean())
+        agree = float(dev_agree(probes["stem_union"][0](x64u),
+                                probes["stem_cur"][0](x64c)))
         results["stem_union_agreement"] = agree
         log(f"stem_union vs stem_cur agreement: {agree:.6f}")
         if agree != 1.0:

@@ -95,6 +95,16 @@ REQUANT = "trunc"
 # stay the default.
 IPR = 1
 
+# PACK: contraction-lane packing of the SPLIT block kernels' dots.  The s8
+# MXU contracts K in 128-lane passes, so the 9 per-tap K=64 dots of "none"
+# pay ~2x their FLOPs (experiments/kernel_probe_r4.json kgran64 vs kgran128).
+# "pair" stores activations twice — (128, BUF) with the bottom half shifted
+# left one lane — so taps (dx=0, dx=1) become ONE K=128 dot (3 pair dots +
+# 3 single K=64 dots = 6 MXU passes vs 9); "tri" shifts thrice (192, BUF)
+# for 3 K=192 dots.  The dup stores are VMEM-local; exact int8 agreement
+# with "none" is asserted in the r4 probe and tests.
+PACK = "none"
+
 # STEM dot formulation: "staged" = _build_B copies the 9 tap slices into one
 # (576, S) B matrix for a single M=256 K=576 dot (r2's fastest form);
 # "taps" = 9 per-tap M=256 K=64 dots straight from lane-offset slices of the
@@ -169,6 +179,32 @@ def _geometry(H):
 def _pack_block_A(wq):
     """(64, 64, 3, 3) -> (64, 576): A[o, t*64 + c] = w[o, c, dy, dx]."""
     return wq.transpose(0, 2, 3, 1).reshape(64, 576)
+
+
+def _pack_block_pair(wq):
+    """(64, 64, 3, 3) -> (Ap (64, 384), As (64, 192)) for PACK='pair':
+    per dy one [w(dy,0) | w(dy,1)] K=128 bank + a w(dy,2) K=64 single."""
+    Ap = jnp.concatenate(
+        [jnp.concatenate([wq[:, :, dy, 0], wq[:, :, dy, 1]], axis=1)
+         for dy in range(3)], axis=1)
+    As = jnp.concatenate([wq[:, :, dy, 2] for dy in range(3)], axis=1)
+    return Ap, As
+
+
+def _pack_block_tri(wq):
+    """(64, 64, 3, 3) -> (At (64, 576),) for PACK='tri': per dy one
+    [w(dy,0) | w(dy,1) | w(dy,2)] K=192 bank."""
+    return (jnp.concatenate([wq[:, :, dy, dx]
+                             for dy in range(3) for dx in range(3)], axis=1),)
+
+
+def _pack_A(wq):
+    """Block A payload(s) for the active PACK mode."""
+    if PACK == "pair":
+        return _pack_block_pair(wq)
+    if PACK == "tri":
+        return _pack_block_tri(wq)
+    return (_pack_block_A(wq),)
 
 
 def _stem_gather_idx():
@@ -392,58 +428,123 @@ def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
     )(mask, x64, A_s, f_s, b_s, *bw_args)
 
 
-def _block_kernel(*refs, g, sx, last, fxp, ipr):
-    """SPLIT-mode basic block: per-tap dots, ``ipr`` images per grid step,
-    int8 in -> int8 (zeroed halos) or bf16 out.
+_PACK_ROWS = {"none": 64, "pair": 128, "tri": 192}
+_PACK_NA = {"none": 1, "pair": 2, "tri": 1}
 
-    refs = [mask, x, A1, E1..., A2, E2..., out, y1 x ipr] where each
+
+def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
+    """SPLIT-mode basic block: ``ipr`` images per grid step, int8 in ->
+    int8 (zeroed halos) or bf16 out.
+
+    refs = [mask, x, A1..., E1..., A2..., E2..., out, scratches] where each
     epilogue E is (q,) int32 (m, B, s, mr) in fxp mode or (f, b) f32
     otherwise; the last block's conv2 always uses exact f32 (bf16 output
     needs the raw scale) with the residual added as res * sx.
 
-    ipr > 1 interleaves the images so image B's MXU dots can overlap image
-    A's VPU epilogue — the single-image kernel runs dots and epilogues
-    strictly serially (their sum matches the measured ~3.6 us/block)."""
+    ``pack`` selects the dot formulation (module PACK doc): "none" = 9
+    per-tap K=64 dots reading the activation buffer directly (scratches =
+    y1 x ipr); "pair"/"tri" = lane-packed K=128/K=192 dots reading
+    DUP-SHIFTED activation copies (scratches = (xdup, y1dup) x ipr, bottom
+    row-banks hold the same plane shifted left 1/2 lanes so adjacent taps
+    share one MXU pass)."""
     import jax.experimental.pallas as pl
 
-    mask_ref, x_ref = refs[0], refs[1]
+    rows, na = _PACK_ROWS[pack], _PACK_NA[pack]
     n1 = 1 if fxp else 2
-    A1, E1 = refs[2], refs[3:3 + n1]
     n2 = 2 if last else n1
-    A2, E2 = refs[3 + n1], refs[4 + n1:4 + n1 + n2]
-    o_ref = refs[4 + n1 + n2]
-    y1s = refs[5 + n1 + n2:5 + n1 + n2 + ipr]
+    mask_ref, x_ref = refs[0], refs[1]
+    i = 2
+    A1 = refs[i:i + na]; i += na
+    E1 = refs[i:i + n1]; i += n1
+    A2 = refs[i:i + na]; i += na
+    E2 = refs[i:i + n2]; i += n2
+    o_ref = refs[i]; i += 1
+    scr = refs[i:]
+    if pack == "none":
+        y1s, xds = scr[:ipr], [None] * ipr
+    else:
+        xds, y1s = scr[0::2][:ipr], scr[1::2][:ipr]
 
-    Sg, RSg = g.S, g.RS
+    Sg, RSg, BUFg = g.S, g.RS, g.BUF
     taps = [(dy - 1) * RSg + (dx - 1) for dy in range(3) for dx in range(3)]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        zero = jnp.zeros((64, HALO), jnp.int8)
+        zero = jnp.zeros((rows, HALO), jnp.int8)
         for y1_ref in y1s:
             y1_ref[:, :HALO] = zero
             y1_ref[:, HALO + Sg:] = zero
+            if pack != "none":
+                # shifted per-step stores end before HALO+Sg-1: the dup
+                # banks' last data lanes (top halo shifted left) need
+                # one-time zeros
+                y1_ref[:, HALO + Sg - 2:HALO + Sg] = \
+                    jnp.zeros((rows, 2), jnp.int8)
+        for xd in xds:
+            if xd is not None:
+                xd[:, HALO + Sg:] = zero
 
     m8 = mask_ref[...]
     cond = m8 != 0
 
-    def conv(A_ref, src):
+    def dup(dst, src):
+        """(64, BUF) plane -> (rows, BUF) with banks shifted left 1(,2)."""
+        dst[0:64, :] = src
+        dst[64:128, 0:BUFg - 1] = src[:, 1:BUFg]
+        if rows == 192:
+            dst[128:192, 0:BUFg - 2] = src[:, 2:BUFg]
+
+    def store_mid(y1_ref, q):
+        y1_ref[0:64, HALO:HALO + Sg] = q
+        if pack != "none":
+            y1_ref[64:128, HALO - 1:HALO + Sg - 1] = q
+            if rows == 192:
+                y1_ref[128:192, HALO - 2:HALO + Sg - 2] = q
+
+    def conv(A, src):
+        if pack == "pair":
+            Ap, As = A
+            acc = None
+            for dy in range(3):
+                o = HALO + (dy - 1) * RSg - 1
+                d = jnp.dot(Ap[:, dy * 128:(dy + 1) * 128],
+                            src[:, o:o + Sg],
+                            preferred_element_type=jnp.int32)
+                d = d + jnp.dot(As[:, dy * 64:(dy + 1) * 64],
+                                src[0:64, o + 2:o + 2 + Sg],
+                                preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+            return acc
+        if pack == "tri":
+            At, = A
+            acc = None
+            for dy in range(3):
+                o = HALO + (dy - 1) * RSg - 1
+                d = jnp.dot(At[:, dy * 192:(dy + 1) * 192],
+                            src[0:192, o:o + Sg],
+                            preferred_element_type=jnp.int32)
+                acc = d if acc is None else acc + d
+            return acc
+        A0, = A
         acc = None
         for t, off in enumerate(taps):
-            d = jnp.dot(A_ref[:, t * 64:(t + 1) * 64],
+            d = jnp.dot(A0[:, t * 64:(t + 1) * 64],
                         src[:, HALO + off:HALO + off + Sg],
                         preferred_element_type=jnp.int32)
             acc = d if acc is None else acc + d
         return acc
 
-    a1 = [conv(A1, x_ref[p]) for p in range(ipr)]
+    if pack != "none":
+        for p in range(ipr):
+            dup(xds[p], x_ref[p])
+    src1 = xds if pack != "none" else [x_ref[p] for p in range(ipr)]
+    a1 = [conv(A1, src1[p]) for p in range(ipr)]
     for p in range(ipr):
         if fxp:
-            y1s[p][:, HALO:HALO + Sg] = _fxp_q(a1[p], E1[0], m8)
+            store_mid(y1s[p], _fxp_q(a1[p], E1[0], m8))
         else:
             v1 = a1[p].astype(jnp.float32) * E1[0][...] + E1[1][...]
-            y1s[p][:, HALO:HALO + Sg] = \
-                jnp.clip(v1, 0.0, 127.99).astype(jnp.int8) & m8
+            store_mid(y1s[p], jnp.clip(v1, 0.0, 127.99).astype(jnp.int8) & m8)
     a2 = [conv(A2, y1s[p]) for p in range(ipr)]
     zero = jnp.zeros((64, HALO), jnp.int8)
     for p in range(ipr):
@@ -466,30 +567,38 @@ def _block_kernel(*refs, g, sx, last, fxp, ipr):
 
 
 def _call_block(y, mask, A1, E1, A2, E2, sx, g, last, interpret, fxp,
-                ipr=1):
+                ipr=1, pack="none"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if not isinstance(A1, (tuple, list)):
+        A1 = (A1,)
+    if not isinstance(A2, (tuple, list)):
+        A2 = (A2,)
     N = y.shape[0]
+    rows = _PACK_ROWS[pack]
     const = lambda shape: pl.BlockSpec(shape, lambda n: (0,) * len(shape))
-    wspec = const((64, 576))
+    wspecs = lambda As: [const(tuple(a.shape)) for a in As]
     espec = lambda es: [const(tuple(e.shape)) for e in es]
+    scratch = ([pltpu.VMEM((64, g.BUF), jnp.int8)] * ipr if pack == "none"
+               else [pltpu.VMEM((rows, g.BUF), jnp.int8)] * (2 * ipr))
     return pl.pallas_call(
-        partial(_block_kernel, g=g, sx=sx, last=last, fxp=fxp, ipr=ipr),
+        partial(_block_kernel, g=g, sx=sx, last=last, fxp=fxp, ipr=ipr,
+                pack=pack),
         grid=(N // ipr,),
         in_specs=[const((1, g.S)),
                   pl.BlockSpec((ipr, 64, g.BUF), lambda n: (n, 0, 0)),
-                  wspec, *espec(E1), wspec, *espec(E2)],
+                  *wspecs(A1), *espec(E1), *wspecs(A2), *espec(E2)],
         out_specs=pl.BlockSpec((ipr, 64, g.BUF), lambda n: (n, 0, 0)),
         out_shape=jax.ShapeDtypeStruct(
             (N, 64, g.BUF), jnp.bfloat16 if last else jnp.int8),
-        scratch_shapes=[pltpu.VMEM((64, g.BUF), jnp.int8)] * ipr,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * 2 * 64 * 576 * g.S,
             bytes_accessed=N * 64 * g.BUF * 2 + 2 * 64 * 576,
             transcendentals=0),
         interpret=interpret,
-    )(mask, y, A1, *E1, A2, *E2)
+    )(mask, y, *A1, *E1, *A2, *E2)
 
 
 # --------------------------------------------------------------------------
@@ -555,8 +664,9 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g, out_scale=None):
     # non-negative post-ReLU planes (bf16 outputs get the raw bias)
     b_s = bias(Bs) * inv0 + (0.5 if (blocks or out_scale) else 0.0)
 
-    bw_args, sxs = [], []
+    bw_args, sxs, wqs = [], [], []
     for bi, (W1, B1, W2, B2) in enumerate(blocks):
+        wqs.append((W1.q, W2.q))
         sx_in = float(W1.act_scale)              # block input scale
         s_mid = float(W2.act_scale)
         last = bi == len(blocks) - 1
@@ -581,7 +691,8 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g, out_scale=None):
         y = _call_stage(x64, mask, A_s, fs, b_s, [], (), g, 0, ipr,
                         interpret, emit="int8", fxp=fxp)
         for bi in range(len(blocks)):
-            A1, f1, b1, A2, f2, b2 = bw_args[6 * bi:6 * bi + 6]
+            _, f1, b1, _, f2, b2 = bw_args[6 * bi:6 * bi + 6]
+            A1, A2 = _pack_A(wqs[bi][0]), _pack_A(wqs[bi][1])
             # with out_scale the final block uses the same quantizing
             # trunc-fold epilogue as interior blocks (int8 out)
             last = bi == len(blocks) - 1 and not out_scale
@@ -592,7 +703,7 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g, out_scale=None):
             else:
                 E1, E2 = (f1, b1), (f2, b2)
             y = _call_block(y, mask, A1, E1, A2, E2, sxs[bi], g,
-                            last, interpret, fxp, ipr=ipr)
+                            last, interpret, fxp, ipr=ipr, pack=PACK)
         return _unpad(y, jnp.int8 if out_scale else x.dtype, g)
     if blocks:
         ipr = 1   # 2-image steps measured no faster and double the VMEM

@@ -427,3 +427,31 @@ def test_int8_graph_inputs_are_values_not_codes():
     y8 = np.asarray(net.program(x8))
     yf = np.asarray(net.program(x8.astype(np.float32)))
     np.testing.assert_allclose(y8, yf, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pack,requant,size", [
+    ("pair", "trunc", 224), ("tri", "trunc", 192),
+    ("pair", "fxp", 192), ("tri", "fxp", 224)])
+def test_pallas_pack_matches_none(pack, requant, size):
+    """PACK='pair'/'tri' (lane-packed K=128/192 dots over dup-shifted
+    activation banks) computes the IDENTICAL integer math as the per-tap
+    form — outputs must be bit-equal, any diff is a packing/shift bug
+    (experiments/kernel_probe_r4.py found exactly such an uninitialized
+    dup-lane bug this way)."""
+    rng = np.random.default_rng(17)
+    x, Ws, Bs, blocks, bw = _rand_stage_inputs(rng, size, 2)
+    s_out = 0.11   # int8-code emission: exact integer comparison
+    old_p, old_r = st.PACK, st.REQUANT
+    try:
+        st.REQUANT = requant
+        st.PACK = "none"
+        ref = np.asarray(st.stage64(x, Ws, Bs, *bw, out_scale=s_out,
+                                    interpret=True))
+        st.PACK = pack
+        out = np.asarray(st.stage64(x, Ws, Bs, *bw, out_scale=s_out,
+                                    interpret=True))
+    finally:
+        st.PACK, st.REQUANT = old_p, old_r
+    assert ref.dtype == out.dtype == np.int8
+    assert (ref == out).all()
