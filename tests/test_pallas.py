@@ -93,42 +93,3 @@ def test_quantized_1x1_conv_routes_to_gemm(rng, monkeypatch):
     ref2 = nops.conv2d(x, deq, B, strides=(2, 2))
     np.testing.assert_allclose(out2, ref2, rtol=2e-2,
                                atol=2e-2 * np.abs(ref2).max())
-
-
-def test_conv3x3_dual_interpret(rng):
-    """Fused dual-row-bank 3x3 conv kernel vs the numpy oracle."""
-    from planer_tpu.ops.pallas import conv3x3
-    N, H, W, C, O = 2, 16, 12, 64, 64
-    x = rng.standard_normal((N, H, W, C)).astype(np.float32)
-    K = (rng.standard_normal((O, C, 3, 3)) * 0.2).astype(np.float32)
-    Kp = jnp.asarray(conv3x3.pack_weights_dual(K))
-    s2 = jnp.ones((1, 2 * O), jnp.float32)
-    b2 = jnp.zeros((1, 2 * O), jnp.float32)
-    out = np.asarray(conv3x3.conv3x3_dual(jnp.asarray(x), Kp, s2, b2,
-                                          interpret=True))
-    # NCHW oracle
-    ref = nops.conv2d(x.transpose(0, 3, 1, 2), K, None, pads=(1, 1, 1, 1))
-    ref = ref.transpose(0, 2, 3, 1)
-    np.testing.assert_allclose(out, ref, rtol=2e-2,
-                               atol=2e-2 * np.abs(ref).max())
-
-
-def test_conv3x3_dual_int8_relu_bias(rng):
-    from planer_tpu.ops.pallas import conv3x3
-    N, H, W, C, O = 1, 8, 8, 64, 64
-    x = rng.standard_normal((N, H, W, C)).astype(np.float32)
-    Kf = (rng.standard_normal((O, C, 3, 3)) * 0.3).astype(np.float32)
-    absmax = np.abs(Kf).max(axis=(1, 2, 3), keepdims=True)
-    scale = (absmax / 127.0).astype(np.float32)
-    q = np.clip(np.round(Kf / scale), -127, 127).astype(np.int8)
-    bias = rng.standard_normal(O).astype(np.float32)
-    Kp = jnp.asarray(conv3x3.pack_weights_dual(q))
-    s2 = jnp.asarray(np.tile(scale.reshape(1, O), (1, 2)))
-    b2 = jnp.asarray(np.tile(bias.reshape(1, O), (1, 2)))
-    out = np.asarray(conv3x3.conv3x3_dual(jnp.asarray(x), Kp, s2, b2,
-                                          relu=True, interpret=True))
-    deq = q.astype(np.float32) * scale
-    ref = nops.conv2d(x.transpose(0, 3, 1, 2), deq, bias, pads=(1, 1, 1, 1))
-    ref = np.maximum(ref, 0).transpose(0, 2, 3, 1)
-    np.testing.assert_allclose(out, ref, rtol=3e-2,
-                               atol=3e-2 * np.abs(ref).max())
