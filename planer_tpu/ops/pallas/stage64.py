@@ -83,10 +83,13 @@ SPLIT = True
 # The fxp multiplier m carries <= 0.9% relative scale error (m in [58, 115],
 # bounded by int32 overflow: |acc| < 127*127*576 ~ 2^23.2 so m <= 115 keeps
 # acc*m < 2^30); the bf16-emitting final planes always use exact f32.  Only
-# the SPLIT path implements fxp.  MEASURED END-TO-END NEUTRAL (split_ab:
-# 1.957 fxp vs 1.951 trunc ms b64) — the block kernels are not VPU-bound in
-# situ — so the exact form stays the default.
-REQUANT = "trunc"
+# the SPLIT path implements fxp.  r3 measured fxp E2E-neutral on the then-
+# current kernels; the r4 forced-full-compute probe shows the kernel itself
+# IS 0.84 us/img faster (kernel_probe_r4.json) and E2E confirms once paired
+# with PACK=tri (pack_ab_b64.json: 1.849 fxp/tri vs 1.963 trunc/none) —
+# fxp is now the DEFAULT; "trunc" remains the exact-f32 fallback (bench.py's
+# numeric gate + test_accuracy budgets hold under fxp).
+REQUANT = "fxp"
 
 # images per grid step in the SPLIT kernels (even batches only; odd batches
 # and batch 1 fall back to 1).  2 would let image B's MXU dots overlap image
@@ -95,15 +98,17 @@ REQUANT = "trunc"
 # stay the default.
 IPR = 1
 
-# PACK: contraction-lane packing of the SPLIT block kernels' dots.  The s8
-# MXU contracts K in 128-lane passes, so the 9 per-tap K=64 dots of "none"
-# pay ~2x their FLOPs (experiments/kernel_probe_r4.json kgran64 vs kgran128).
+# PACK: contraction-lane packing of the SPLIT block kernels' dots.
 # "pair" stores activations twice — (128, BUF) with the bottom half shifted
 # left one lane — so taps (dx=0, dx=1) become ONE K=128 dot (3 pair dots +
-# 3 single K=64 dots = 6 MXU passes vs 9); "tri" shifts thrice (192, BUF)
-# for 3 K=192 dots.  The dup stores are VMEM-local; exact int8 agreement
-# with "none" is asserted in the r4 probe and tests.
-PACK = "none"
+# 3 single K=64 dots vs 9 per-tap K=64 dots); "tri" shifts thrice
+# (192, BUF) for 3 K=192 dots.  The dup stores are VMEM-local; exact int8
+# agreement with "none" is asserted in the r4 probe and tests.  MEASURED
+# (kernel_probe_r4.json, pack_ab_b64.json): with the fxp epilogue the
+# kernel is dot-bound and tri wins (isolated 3.77 vs 4.77 us/img; E2E
+# 1.849 vs 1.963 ms b64) — "tri" + fxp is the default; under trunc
+# epilogues packing loses (VPU critical path + dup stores).
+PACK = "tri"
 
 # STEM dot formulation: "staged" = _build_B copies the 9 tap slices into one
 # (576, S) B matrix for a single M=256 K=576 dot (r2's fastest form);

@@ -299,8 +299,13 @@ def test_pallas_interpret_out_scale_emits_codes():
     x, Ws, Bs, blocks, bw = _rand_stage_inputs(rng, 224, 2)
     ref = np.asarray(_simulate(jnp.asarray(x), Ws, Bs, blocks), np.float32)
     s_out = float(ref.max()) / 126.0       # a calibration-like scale
-    q = np.asarray(st.stage64(x, Ws, Bs, *bw, out_scale=s_out,
-                              interpret=True))
+    old = st.REQUANT
+    st.REQUANT = "trunc"    # exact epilogue: the one-quant-step bound below
+    try:                    # only holds without fxp's ~0.9%/plane scale error
+        q = np.asarray(st.stage64(x, Ws, Bs, *bw, out_scale=s_out,
+                                  interpret=True))
+    finally:
+        st.REQUANT = old
     assert q.dtype == np.int8 and q.shape == (2, 64, 56, 56)
     assert q.min() >= 0 and q.max() <= 127
     deq = q.astype(np.float32) * s_out
