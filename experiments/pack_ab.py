@@ -36,6 +36,8 @@ CONFIGS = {
     "tri_fxp": ("tri", "fxp"),
     "pair_fxp": ("pair", "fxp"),
     "tri_trunc": ("tri", "trunc"),
+    "nine_fxp": ("nine", "fxp"),
+    "nine_trunc": ("nine", "trunc"),
 }
 
 

@@ -170,15 +170,24 @@ def _conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
         and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000)
     if isinstance(K, QTensor):
         # pre-quantized input: int8 activations are by contract CODES at
-        # K.act_scale (only ever produced by a fused stage64 whose
-        # out_scale annotation matched this conv's calibrated scale) —
-        # always take the s8 MXU path, no quantize pass, no volume gates
+        # K.act_scale (only ever produced by an annotated producer whose
+        # out_scale matched this conv's calibrated scale)
         if (x.dtype == jnp.int8 and K.q.dtype == jnp.int8
                 and K.act_scale is not None and x.ndim == 4
                 and int(group) == 1):
-            return _conv_w8a8(x, K, B, strides, dilations, pads,
-                              pre_quantized=True,
-                              compute_dtype=compute_dtype)
+            # C >= 128: take the s8 MXU path, no quantize pass
+            if x.shape[1] >= 128:
+                return _conv_w8a8(x, K, B, strides, dilations, pads,
+                                  pre_quantized=True,
+                                  compute_dtype=compute_dtype)
+            # C < 128: the forced s8 path measured slower (lane-starved,
+            # experiments/elide_ab r2) — DECODE the codes to the compute
+            # dtype and fall through to the float/stacked paths; the int8
+            # tensor still halved the producer->consumer HBM traffic and
+            # the producer's quantize fused into its epilogue
+            odt = jnp.dtype(compute_dtype) if compute_dtype \
+                else jnp.float32
+            x = x.astype(odt) * jnp.asarray(K.act_scale, odt)
         # W8A8: on layers with C_in >= 128 the s8 x s8 -> s32 MXU path is
         # 1.3-1.8x faster than bf16 (measured, experiments/RESULTS.md);
         # activations quantize per-tensor dynamically. C=64 layers measured
@@ -545,8 +554,43 @@ def power(x, p):
     return jnp.power(x, p)
 
 
-def add(a, b):
-    return a + b
+def add(a, b, qadd=None, compute_dtype=None):
+    """Elementwise add, optionally in the quantized-activation domain.
+
+    ``qadd = (sa, sb, so)`` (optimize.annotate_output_quant, the residual
+    extension): operands whose scale is non-None arrive as int8 activation
+    CODES at that scale (their producers were annotated to emit codes);
+    ``so`` non-None re-emits the sum as codes at that scale for
+    pre-quantized consumer convs.  This turns a ResNet block boundary
+    (bf16 add + relu + consumer quantize pass) into one int8-in/int8-out
+    fused elementwise pass — the bf16 activation round-trip disappears.
+    The numpy oracle ignores ``qadd`` and stays fp32 end to end: the elided
+    quantization is part of the quantized program's accuracy budget (same
+    policy as conv2d's ``out_scale``)."""
+    if qadd is None:
+        return a + b
+    sa, sb, so = qadd
+    if so is not None:
+        # scale ratios fold host-side; a same-scale residual (the common
+        # ResNet case) contributes its codes exactly (ratio == 1.0)
+        def term(x, s):
+            r = (1.0 / so) if s is None else (s / so)
+            x = x.astype(jnp.float32)
+            return x if r == 1.0 else x * jnp.float32(r)
+        v = term(a, sa) + term(b, sb)
+        return jnp.clip(jnp.round(v), -127, 127).astype(jnp.int8)
+    # float output (decode-add): codes operands dequant into the sum
+    af = a.astype(jnp.float32) if sa is None \
+        else a.astype(jnp.float32) * jnp.float32(sa)
+    bf = b.astype(jnp.float32) if sb is None \
+        else b.astype(jnp.float32) * jnp.float32(sb)
+    v = af + bf
+    # out dtype: the non-code operand's, else the program compute dtype
+    for x, s in ((a, sa), (b, sb)):
+        if s is None:
+            return v.astype(x.dtype)
+    return v.astype(jnp.dtype(compute_dtype) if compute_dtype
+                    else jnp.float32)
 
 
 def sub(a, b):

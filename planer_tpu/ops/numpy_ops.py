@@ -308,7 +308,11 @@ def power(x, p):
     return np.power(x, p)
 
 
-def add(a, b):
+def add(a, b, qadd=None, compute_dtype=None):
+    """Elementwise add.  ``qadd``/``compute_dtype`` (the jax path's int8
+    residual-domain form, jax_ops.add) are ignored: the oracle emits fp32,
+    and the elided quantization is part of the quantized program's accuracy
+    budget, not the oracle's (same policy as conv2d's ``out_scale``)."""
     return a + b
 
 

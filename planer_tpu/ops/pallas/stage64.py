@@ -102,13 +102,22 @@ IPR = 1
 # "pair" stores activations twice — (128, BUF) with the bottom half shifted
 # left one lane — so taps (dx=0, dx=1) become ONE K=128 dot (3 pair dots +
 # 3 single K=64 dots vs 9 per-tap K=64 dots); "tri" shifts thrice
-# (192, BUF) for 3 K=192 dots.  The dup stores are VMEM-local; exact int8
-# agreement with "none" is asserted in the r4 probe and tests.  MEASURED
-# (kernel_probe_r4.json, pack_ab_b64.json): with the fxp epilogue the
-# kernel is dot-bound and tri wins (isolated 3.77 vs 4.77 us/img; E2E
-# 1.849 vs 1.963 ms b64) — "tri" + fxp is the default; under trunc
-# epilogues packing loses (VPU critical path + dup stores).
+# (192, BUF) for 3 K=192 dots; "nine" shifts nine times ((576, BUF) banks,
+# lane shift dy*RS + dx encoding BOTH the dx lane offset and the dy row
+# offset) for ONE K=576 dot per conv — an im2col held entirely in VMEM.
+# The dup stores are VMEM-local; exact int8 agreement with "none" is
+# asserted in the r4 probe and tests.  MEASURED (kernel_probe_r4.json,
+# pack_ab_b64.json): with the fxp epilogue the kernel is dot-bound and
+# packing wins (tri isolated 3.77 vs 4.77 us/img; E2E 1.849 vs 1.963 ms
+# b64; the MXU K-granularity curve prices one K=576 dot at 1.23 vs tri's
+# 3x0.70 us/img) — under trunc epilogues packing loses (VPU critical path
+# + dup stores).  "nine" falls back to "tri" when g.S > _NINE_S_MAX (the
+# (576, BUF) banks would blow the VMEM budget at H >= 288).
 PACK = "tri"
+
+# largest S the "nine" dup banks fit at (~2 x (576, BUF) int8 + 2 int32
+# accumulators inside the ~16 MB core VMEM budget)
+_NINE_S_MAX = 4608
 
 # STEM dot formulation: "staged" = _build_B copies the 9 tap slices into one
 # (576, S) B matrix for a single M=256 K=576 dot (r2's fastest form);
@@ -203,12 +212,15 @@ def _pack_block_tri(wq):
                              for dy in range(3) for dx in range(3)], axis=1),)
 
 
-def _pack_A(wq):
-    """Block A payload(s) for the active PACK mode."""
-    if PACK == "pair":
+def _pack_A(wq, pack=None):
+    """Block A payload(s) for the given (default: active) PACK mode."""
+    pack = PACK if pack is None else pack
+    if pack == "pair":
         return _pack_block_pair(wq)
-    if PACK == "tri":
+    if pack == "tri":
         return _pack_block_tri(wq)
+    # "none" and "nine" share the flat (64, 576) layout: column t*64 + c
+    # with t = dy*3 + dx — exactly the "nine" dup-bank row order
     return (_pack_block_A(wq),)
 
 
@@ -433,8 +445,8 @@ def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
     )(mask, x64, A_s, f_s, b_s, *bw_args)
 
 
-_PACK_ROWS = {"none": 64, "pair": 128, "tri": 192}
-_PACK_NA = {"none": 1, "pair": 2, "tri": 1}
+_PACK_ROWS = {"none": 64, "pair": 128, "tri": 192, "nine": 576}
+_PACK_NA = {"none": 1, "pair": 2, "tri": 1, "nine": 1}
 
 
 def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
@@ -472,11 +484,19 @@ def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
 
     Sg, RSg, BUFg = g.S, g.RS, g.BUF
     taps = [(dy - 1) * RSg + (dx - 1) for dy in range(3) for dx in range(3)]
+    # "nine": dot reads bank lanes [o0, o0 + Sg); bank t holds the plane
+    # shifted left by dy*RS + dx so bank[64t+c, l] = plane[c, l + shift_t]
+    o0 = HALO - RSg - 1
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         zero = jnp.zeros((rows, HALO), jnp.int8)
         for y1_ref in y1s:
+            if pack == "nine":
+                # bank lanes outside each bank's static data sub-slice
+                # read the plane's zero halos: zero the whole banks once
+                y1_ref[...] = jnp.zeros((rows, BUFg), jnp.int8)
+                continue
             y1_ref[:, :HALO] = zero
             y1_ref[:, HALO + Sg:] = zero
             if pack != "none":
@@ -486,20 +506,43 @@ def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
                 y1_ref[:, HALO + Sg - 2:HALO + Sg] = \
                     jnp.zeros((rows, 2), jnp.int8)
         for xd in xds:
-            if xd is not None:
+            # ("nine" dup() covers every read lane per step: no init)
+            if xd is not None and pack != "nine":
                 xd[:, HALO + Sg:] = zero
 
     m8 = mask_ref[...]
     cond = m8 != 0
 
     def dup(dst, src):
-        """(64, BUF) plane -> (rows, BUF) with banks shifted left 1(,2)."""
+        """(64, BUF) plane -> (rows, BUF) dup banks: "pair"/"tri" shift
+        left 1(,2) lanes; "nine" shifts bank t = dy*3 + dx left by
+        dy*RS + dx lanes, writing exactly the dot's read window (the
+        source plane's zero halos supply the bank edges)."""
+        if pack == "nine":
+            for t in range(9):
+                dy, dx = divmod(t, 3)
+                sh = dy * RSg + dx
+                dst[64 * t:64 * (t + 1), o0:o0 + Sg] = \
+                    src[:, o0 + sh:o0 + sh + Sg]
+            return
         dst[0:64, :] = src
         dst[64:128, 0:BUFg - 1] = src[:, 1:BUFg]
         if rows == 192:
             dst[128:192, 0:BUFg - 2] = src[:, 2:BUFg]
 
     def store_mid(y1_ref, q):
+        if pack == "nine":
+            # bank t data sub-slice inside the read window [o0, o0 + Sg):
+            # dst[l] = plane[l + sh] and plane[HALO + j] = q[j]; lanes
+            # outside [lo, hi) keep their one-time init zeros
+            for t in range(9):
+                dy, dx = divmod(t, 3)
+                sh = dy * RSg + dx
+                lo = max(o0, HALO - sh)
+                hi = min(o0 + Sg, HALO - sh + Sg)
+                y1_ref[64 * t:64 * (t + 1), lo:hi] = \
+                    q[:, lo + sh - HALO:hi + sh - HALO]
+            return
         y1_ref[0:64, HALO:HALO + Sg] = q
         if pack != "none":
             y1_ref[64:128, HALO - 1:HALO + Sg - 1] = q
@@ -507,6 +550,11 @@ def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
                 y1_ref[128:192, HALO - 2:HALO + Sg - 2] = q
 
     def conv(A, src):
+        if pack == "nine":
+            # the whole 3x3 as ONE K=576 MXU dot over the im2col banks
+            An, = A
+            return jnp.dot(An[...], src[:, o0:o0 + Sg],
+                           preferred_element_type=jnp.int32)
         if pack == "pair":
             Ap, As = A
             acc = None
@@ -695,9 +743,10 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g, out_scale=None):
         fs = _fxp_pack(f_s, b_s) if fxp else f_s
         y = _call_stage(x64, mask, A_s, fs, b_s, [], (), g, 0, ipr,
                         interpret, emit="int8", fxp=fxp)
+        pk = "tri" if (PACK == "nine" and g.S > _NINE_S_MAX) else PACK
         for bi in range(len(blocks)):
             _, f1, b1, _, f2, b2 = bw_args[6 * bi:6 * bi + 6]
-            A1, A2 = _pack_A(wqs[bi][0]), _pack_A(wqs[bi][1])
+            A1, A2 = _pack_A(wqs[bi][0], pk), _pack_A(wqs[bi][1], pk)
             # with out_scale the final block uses the same quantizing
             # trunc-fold epilogue as interior blocks (int8 out)
             last = bi == len(blocks) - 1 and not out_scale
@@ -708,7 +757,7 @@ def _pallas_stage(x, Ws, Bs, blocks, interpret, g, out_scale=None):
             else:
                 E1, E2 = (f1, b1), (f2, b2)
             y = _call_block(y, mask, A1, E1, A2, E2, sxs[bi], g,
-                            last, interpret, fxp, ipr=ipr, pack=PACK)
+                            last, interpret, fxp, ipr=ipr, pack=pk)
         return _unpad(y, jnp.int8 if out_scale else x.dtype, g)
     if blocks:
         ipr = 1   # 2-image steps measured no faster and double the VMEM

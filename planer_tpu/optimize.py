@@ -314,6 +314,15 @@ def fuse_stage64(net) -> int:
     return fused
 
 
+# minimum C_in for a conv to count as a codes consumer in
+# annotate_output_quant.  128 = only convs on the s8 MXU path consume
+# codes directly; 1 = ALSO annotate edges into C<128 consumers, which
+# DECODE to the compute dtype (jax_ops._conv2d) — the producer's quantize
+# still fuses away and the edge tensor halves to int8 (this is what lets
+# the stage64 -> layer2 boundary emit codes).  A/B'd on the real TPU.
+ANNOTATE_MIN_CIN = 128
+
+
 def annotate_output_quant(net) -> int:
     """Quantized-activation chaining: mark every producer op (conv or fused
     stage64) whose output — looking THROUGH relu, which is exact on int8
@@ -356,19 +365,34 @@ def annotate_output_quant(net) -> int:
                 if y in src:
                     yield e2, li, layers[lname], src
 
+    def is_qadd(l2, e2, li, src, y):
+        """A single-layer 2-operand elementwise add reading y once: accepts
+        int8 codes at ANY scale (jax_ops.add's qadd rescale decodes or
+        rescales each operand independently)."""
+        return (l2.op == "add" and li == 0 and len(e2.layers) == 1
+                and len(src) == 2 and src.count(y) == 1
+                and not any(s in inits for s in src))
+
     def sink_scale(y, depth=0):
-        """The shared consumer act scale, or None if any consumer is not an
-        int8 static-scale conv (looking through single-layer relu edges)."""
-        if y in outputs or depth > 2:
+        """The scale y's consumers need its codes at, or None.
+
+        Consumer kinds: int8 static-scale convs with C_in >= 128 are HARD
+        constraints (their calibrated act scale; all must agree), relu is
+        transparent (exact on codes), a residual ``add`` is scale-FLEXIBLE
+        (it rescales codes per-operand, so it never pins nor vetoes y's
+        scale — but when y has no conv consumer at all, the add's own
+        resolved output scale is used so the common same-scale residual
+        contributes its codes exactly).  Anything else vetoes."""
+        if y in outputs or depth > 4:
             return None
-        found = []
+        hard, flex = [], []
         for e2, li, l2, src in consumers(y):
             if l2.op == "relu" and li == 0 and len(e2.layers) == 1 \
                     and src == [y]:
                 s = sink_scale(e2.dst[0], depth + 1)
                 if s is None:
                     return None
-                found.append(s)
+                hard.append(s)
                 continue
             w = src[1] if len(src) > 1 else None
             if (l2.op == "conv" and src[0] == y and src.count(y) == 1
@@ -377,27 +401,52 @@ def annotate_output_quant(net) -> int:
                     and w in scales
                     and int(l2.kwargs.get("group", 1)) == 1
                     and len(ishape.get(w, ())) == 4
-                    and ishape[w][1] >= 128):
-                found.append(float(scales[w]))
-            else:
-                return None
-        if found and all(s == found[0] for s in found):
-            return found[0]
+                    and ishape[w][1] >= ANNOTATE_MIN_CIN):
+                hard.append(float(scales[w]))
+                continue
+            if is_qadd(l2, e2, li, src, y):
+                flex.append(e2)
+                continue
+            return None
+        if hard:
+            return hard[0] if all(s == hard[0] for s in hard) else None
+        for e2 in flex:
+            s = sink_scale(e2.dst[0], depth + 1)
+            if s is not None:
+                return s
         return None
 
     n = 0
+    code_at = {}      # tensor name -> scale its int8 codes carry
     for e in graph.flow:
         if len(e.layers) != 1:
             continue
         lay = layers[e.layers[0]]
-        if lay.op not in ("stage64", "conv"):
-            continue
-        # a conv producer must itself run on the jax path that implements
-        # out_scale emission (any conv2d path does; grouped convs included)
-        s = sink_scale(e.dst[0])
-        if s is not None:
-            lay.kwargs["out_scale"] = s
-            n += 1
+        if lay.op in ("stage64", "conv"):
+            # a conv producer must itself run on the jax path that
+            # implements out_scale emission (any conv2d path does)
+            s = sink_scale(e.dst[0])
+            if s is not None:
+                lay.kwargs["out_scale"] = s
+                code_at[e.dst[0]] = s
+                n += 1
+        elif lay.op == "relu" and e.src and e.src[0] in code_at \
+                and list(e.src) == [e.src[0]]:
+            # relu is exact on codes: downstream tensors stay codes
+            code_at[e.dst[0]] = code_at[e.src[0]]
+        elif lay.op == "add" and len(e.src) == 2 \
+                and not any(s in inits for s in e.src):
+            # residual chaining: operands whose producers were annotated
+            # arrive as codes (flow order is topological, so both operand
+            # producers were already visited); so != None re-emits codes
+            sa, sb = code_at.get(e.src[0]), code_at.get(e.src[1])
+            so = sink_scale(e.dst[0])
+            if so is None and sa is None and sb is None:
+                continue
+            lay.kwargs["qadd"] = [sa, sb, so]
+            if so is not None:
+                code_at[e.dst[0]] = so
+                n += 1
     if n:
         net._invalidate()
     return n

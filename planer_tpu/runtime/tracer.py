@@ -196,7 +196,7 @@ class TracedProgram:
             # ops whose quantized fast paths cannot infer the program compute
             # dtype from their (int8) inputs get it injected as a kwarg
             overrides = dict(overrides)
-            for op in ("conv",):
+            for op in ("conv", "add"):
                 overrides[op] = {**overrides.get(op, {}),
                                  "compute_dtype": self.compute_dtype}
 

@@ -549,3 +549,40 @@ def test_upsample_empty_scales(rng):
     assert_close(yn, yj)
     with pytest.raises(ValueError, match="size"):
         nops.upsample(x, k)
+
+
+def test_add_qadd_forms(rng):
+    """jax_ops.add with qadd (optimize.annotate_output_quant residual
+    extension): code-domain adds rescale each int8 operand by its folded
+    sa/so ratio and re-emit codes; decode-adds dequant the codes operand
+    into a float sum.  The numpy oracle ignores qadd by contract (fp32
+    end to end, same policy as conv2d out_scale)."""
+    import jax.numpy as jnp
+    from planer_tpu.ops import jax_ops as jops
+    from planer_tpu.ops import numpy_ops as nops
+
+    a = rng.integers(-127, 128, (2, 8, 4, 4)).astype(np.int8)
+    b = rng.integers(-127, 128, (2, 8, 4, 4)).astype(np.int8)
+    sa, sb, so = 0.31, 0.26, 0.48
+    # both-codes emitting add
+    y = np.asarray(jops.add(jnp.asarray(a), jnp.asarray(b),
+                            qadd=[sa, sb, so]))
+    ref = np.clip(np.round(a.astype(np.float32) * np.float32(sa / so)
+                           + b.astype(np.float32) * np.float32(sb / so)),
+                  -127, 127).astype(np.int8)
+    assert y.dtype == np.int8 and (y == ref).all()
+    # same-scale residual: ratio 1.0 folds away, result is exact int math
+    y = np.asarray(jops.add(jnp.asarray(a), jnp.asarray(b),
+                            qadd=[so, so, so]))
+    ref = np.clip(a.astype(np.int32) + b.astype(np.int32), -127, 127)
+    assert (y == ref.astype(np.int8)).all()
+    # decode-add: codes + float -> float in the float operand's dtype
+    bf = rng.standard_normal((2, 8, 4, 4)).astype(np.float32)
+    y = np.asarray(jops.add(jnp.asarray(a), jnp.asarray(bf),
+                            qadd=[sa, None, None]))
+    assert y.dtype == np.float32
+    np.testing.assert_allclose(y, a.astype(np.float32) * np.float32(sa) + bf,
+                               rtol=1e-6)
+    # oracle: qadd ignored, plain fp32 add
+    yn = nops.add(a.astype(np.float32), bf, qadd=[sa, None, None])
+    np.testing.assert_allclose(yn, a.astype(np.float32) + bf)

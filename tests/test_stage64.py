@@ -356,20 +356,48 @@ def test_annotate_output_quant_resnet18():
     assert "out_scale" not in stage.kwargs, stage.kwargs
     ann = [l for l in graph.layers
            if l.op == "conv" and l.kwargs.get("out_scale")]
-    # ResNet-18 body: one conv1->relu->conv2 edge per basic block in l2-l4
-    assert len(ann) == 6, [l.name for l in ann]
+    # ResNet-18 body: conv1->relu->conv2 edges (6) plus — via the residual
+    # add extension — every conv2/downsample feeding a resolvable add
+    # (5 conv2s + 3 downsamples; l4.1's conv2 stays bf16, its add feeds
+    # the head)
+    assert len(ann) == 14, [l.name for l in ann]
+    qadds = [l for l in graph.layers
+             if l.op == "add" and "qadd" in l.kwargs]
+    assert len(qadds) == 6, [l.name for l in qadds]
+    emitting = [l for l in qadds if l.kwargs["qadd"][2] is not None]
+    assert len(emitting) == 5, [l.name for l in emitting]
+    # the one decode-add (l4.1: output feeds the head) takes its residual
+    # operand as codes but emits float
+    (dec,) = [l for l in qadds if l.kwargs["qadd"][2] is None]
+    sa, sb, so = dec.kwargs["qadd"]
+    assert (sa is None) != (sb is None) and so is None
     scales = graph.meta["act_scales"]
     layers = graph.layer_map()
     name_to_edge = {e.layers[0]: e for e in graph.flow if len(e.layers) == 1}
     for l in ann:
         y = name_to_edge[l.name].dst[0]
-        relu_e = next(e for e in graph.flow if e.src == [y])
-        assert layers[relu_e.layers[0]].op == "relu"
-        cons = [e for e in graph.flow if e.src and e.src[0] == relu_e.dst[0]]
+        relu_es = [e for e in graph.flow if e.src == [y]
+                   and layers[e.layers[0]].op == "relu"]
+        if not relu_es:
+            # conv2/downsample producers feed their block's add directly;
+            # the add records the operand's scale in qadd
+            add_es = [e for e in graph.flow if y in e.src
+                      and layers[e.layers[0]].op == "add"]
+            assert add_es, l.name
+            for e2 in add_es:
+                q = layers[e2.layers[0]].kwargs["qadd"]
+                assert l.kwargs["out_scale"] == q[list(e2.src).index(y)]
+            continue
+        cons = [e for e in graph.flow if e.src and e.src[0] == relu_es[0].dst[0]]
         assert cons, l.name
         for e2 in cons:
-            w = e2.src[1]
-            assert scales[w] == l.kwargs["out_scale"]
+            l2 = layers[e2.layers[0]]
+            if l2.op == "add":
+                q = l2.kwargs["qadd"]
+                assert l.kwargs["out_scale"] == \
+                    q[list(e2.src).index(relu_es[0].dst[0])]
+            else:
+                assert scales[e2.src[1]] == l.kwargs["out_scale"]
     # the chain runs on CPU too: argmax agreement on the calibration
     # distribution (gaussian noise clips against the static scales)
     xs = np.concatenate(list(ev.synthetic_images(4, (3, 224, 224), seed=22,
@@ -437,11 +465,12 @@ def test_int8_graph_inputs_are_values_not_codes():
 @pytest.mark.slow
 @pytest.mark.parametrize("pack,requant,size", [
     ("pair", "trunc", 224), ("tri", "trunc", 192),
-    ("pair", "fxp", 192), ("tri", "fxp", 224)])
+    ("pair", "fxp", 192), ("tri", "fxp", 224),
+    ("nine", "fxp", 224), ("nine", "trunc", 192)])
 def test_pallas_pack_matches_none(pack, requant, size):
-    """PACK='pair'/'tri' (lane-packed K=128/192 dots over dup-shifted
-    activation banks) computes the IDENTICAL integer math as the per-tap
-    form — outputs must be bit-equal, any diff is a packing/shift bug
+    """PACK='pair'/'tri'/'nine' (lane-packed K=128/192/576 dots over
+    dup-shifted activation banks) computes the IDENTICAL integer math as
+    the per-tap form — outputs must be bit-equal, any diff is a shift bug
     (experiments/kernel_probe_r4.py found exactly such an uninitialized
     dup-lane bug this way)."""
     rng = np.random.default_rng(17)
