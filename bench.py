@@ -220,7 +220,13 @@ def main():
     numeric_gate()
     log(f"numeric gate: {time.perf_counter()-t0:.1f}s")
 
-    N1, N2 = 10, 110   # 100-step delta so relay jitter (~5ms) stays <5% of signal
+    # 1000-step delta: the r4 run with a 100-step delta recorded a 13%-low
+    # step time (bench_r4_qadd.log t(10)=117 vs a reproducible 76 ms — one
+    # inflated-anchor episode of relay jitter shifts the quotient by
+    # 0.4 ms/100 steps; experiments/step_time.py reproduced 1.83 ms against
+    # the run's 1.595).  At ~2 ms/step the extra 900 iterations cost ~2 s
+    # per rep and divide any residual jitter by 1000.
+    N1, N2 = 10, 1010
     results = {}
     flops_per_img = None
     for batch in (1, 8, 32, 64):

@@ -77,22 +77,25 @@ def _conv_tri(At_ref, dup_ref):
     return acc
 
 
-def _conv_dpair(At_ref, dup_ref):
+def _conv_dpair(A_ref, dup_ref):
+    """A_ref = (192, 192) M-stacked [A_dy0; A_dy1; A_dy2] (host-side):
+    one (128, 192) dot over a window widened by RS covers dy=0,1; the
+    dy=2 rows run as a second M=64 dot.  Mosaic cannot concatenate
+    (64, x) vectors on the sublane dim in-kernel, so the stack is an
+    input, not an At reshape."""
     o = HALO - RS - 1
-    Ad = jnp.concatenate([At_ref[:, 0:192], At_ref[:, 192:384]], axis=0)
-    d = jnp.dot(Ad, dup_ref[0:192, o:o + S + RS],
+    d = jnp.dot(A_ref[0:128, :], dup_ref[0:192, o:o + S + RS],
                 preferred_element_type=jnp.int32)
     acc = d[0:64, 0:S] + d[64:128, RS:RS + S]
-    d2 = jnp.dot(At_ref[:, 384:576], dup_ref[0:192, o + 2 * RS:o + 2 * RS + S],
+    d2 = jnp.dot(A_ref[128:192, :],
+                 dup_ref[0:192, o + 2 * RS:o + 2 * RS + S],
                  preferred_element_type=jnp.int32)
     return acc + d2
 
 
-def _conv_tstack(At_ref, dup_ref):
+def _conv_tstack(A_ref, dup_ref):
     o = HALO - RS - 1
-    Am = jnp.concatenate([At_ref[:, 0:192], At_ref[:, 192:384],
-                          At_ref[:, 384:576]], axis=0)
-    d = jnp.dot(Am, dup_ref[0:192, o:o + S + 2 * RS],
+    d = jnp.dot(A_ref[...], dup_ref[0:192, o:o + S + 2 * RS],
                 preferred_element_type=jnp.int32)
     return (d[0:64, 0:S] + d[64:128, RS:RS + S]
             + d[128:192, 2 * RS:2 * RS + S])
@@ -108,16 +111,22 @@ def kern(x_ref, A_ref, o_ref, dup_ref, *, form):
 
 
 def call(x, At, form):
+    if form == "tri3":
+        A = At                                           # (64, 576)
+    else:
+        # M-stack host-side: rows [A_dy0; A_dy1; A_dy2], each (64, 192)
+        A = jnp.concatenate([At[:, d * 192:(d + 1) * 192]
+                             for d in range(3)], axis=0)  # (192, 192)
     return pl.pallas_call(
         partial(kern, form=form),
         grid=(x.shape[0],),
         in_specs=[pl.BlockSpec((1, 64, BUF), lambda n: (n, 0, 0)),
-                  pl.BlockSpec((64, 576), lambda n: (0, 0))],
+                  pl.BlockSpec(tuple(A.shape), lambda n: (0, 0))],
         out_specs=pl.BlockSpec((1, 64, 128), lambda n: (n, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], 64, 128), jnp.int32),
         scratch_shapes=[pltpu.VMEM((192, BUF), jnp.int8)],
         interpret=INTERP,
-    )(x, At)
+    )(x, A)
 
 
 def timed(fn, x, At, n1=20, n2=220, reps=4):

@@ -81,8 +81,8 @@ def step_time(net, batch):
         return best
 
     t(10)
-    a, b = t(10), t(110)
-    return max((b - a) / 100, 1e-9)
+    a, b = t(10), t(510)
+    return max((b - a) / 500, 1e-9)
 
 
 def main():

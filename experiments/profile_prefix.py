@@ -47,7 +47,7 @@ def truncated(graph, k, ret_layer):
     return g
 
 
-def time_loop(call, x, n1=10, n2=110, reps=4):
+def time_loop(call, x, n1=10, n2=510, reps=4):
     def t(n):
         best = 1e9
         for _ in range(reps):

@@ -322,6 +322,10 @@ def fuse_stage64(net) -> int:
 # the stage64 -> layer2 boundary emit codes).  A/B'd on the real TPU.
 ANNOTATE_MIN_CIN = 128
 
+# look through residual adds (the qadd extension): False restores the
+# r3 conv-relu-conv-only chaining for A/B runs
+ANNOTATE_QADD = True
+
 
 def annotate_output_quant(net) -> int:
     """Quantized-activation chaining: mark every producer op (conv or fused
@@ -369,7 +373,8 @@ def annotate_output_quant(net) -> int:
         """A single-layer 2-operand elementwise add reading y once: accepts
         int8 codes at ANY scale (jax_ops.add's qadd rescale decodes or
         rescales each operand independently)."""
-        return (l2.op == "add" and li == 0 and len(e2.layers) == 1
+        return (ANNOTATE_QADD
+                and l2.op == "add" and li == 0 and len(e2.layers) == 1
                 and len(src) == 2 and src.count(y) == 1
                 and not any(s in inits for s in src))
 
@@ -434,7 +439,7 @@ def annotate_output_quant(net) -> int:
                 and list(e.src) == [e.src[0]]:
             # relu is exact on codes: downstream tensors stay codes
             code_at[e.dst[0]] = code_at[e.src[0]]
-        elif lay.op == "add" and len(e.src) == 2 \
+        elif ANNOTATE_QADD and lay.op == "add" and len(e.src) == 2 \
                 and not any(s in inits for s in e.src):
             # residual chaining: operands whose producers were annotated
             # arrive as codes (flow order is topological, so both operand
