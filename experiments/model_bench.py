@@ -32,7 +32,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_net(net, x, n1=5, n2=55):
+def bench_net(net, x, n1=10, n2=510):
+    # 500-step delta: the 100-step quotient proved artifact-prone on the
+    # relay (see bench.py N1/N2 comment / RESULTS.md qadd correction)
     prog = net.program
     fn_, _ = prog._build_fn({}, [])
     params = prog.params

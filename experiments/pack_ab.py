@@ -37,6 +37,7 @@ CONFIGS = {
     "pair_fxp": ("pair", "fxp"),
     "tri_trunc": ("tri", "trunc"),
     "nine_fxp": ("nine", "fxp"),
+    "dpair_fxp": ("dpair", "fxp"),
     "nine_trunc": ("nine", "trunc"),
 }
 

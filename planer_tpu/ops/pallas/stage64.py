@@ -112,7 +112,12 @@ IPR = 1
 # b64; the MXU K-granularity curve prices one K=576 dot at 1.23 vs tri's
 # 3x0.70 us/img) — under trunc epilogues packing loses (VPU critical path
 # + dup stores).  "nine" falls back to "tri" when g.S > _NINE_S_MAX (the
-# (576, BUF) banks would blow the VMEM budget at H >= 288).
+# (576, BUF) banks would blow the VMEM budget at H >= 288).  "dpair"
+# additionally stacks two dy-banks ON M (one full-row (128, 192) dot over
+# a window widened by RS + one M=64 dot, outputs realigned by lane
+# slices) — M=64 dots waste half the MXU's 128-row tile; measured
+# 1.684 vs tri 1.769 us/img per conv (mrow_probe.json) and E2E A/B'd in
+# pack_ab_b64.json.
 PACK = "tri"
 
 # largest S the "nine" dup banks fit at (~2 x (576, BUF) int8 + 2 int32
@@ -212,6 +217,15 @@ def _pack_block_tri(wq):
                              for dy in range(3) for dx in range(3)], axis=1),)
 
 
+def _pack_block_dpair(wq):
+    """(64, 64, 3, 3) -> (Am (192, 192),) for PACK='dpair': tri's three
+    K=192 dy-banks STACKED ON M (rows [A_dy0; A_dy1; A_dy2]) host-side —
+    Mosaic cannot concatenate on sublanes in-kernel."""
+    At, = _pack_block_tri(wq)
+    return (jnp.concatenate([At[:, dy * 192:(dy + 1) * 192]
+                             for dy in range(3)], axis=0),)
+
+
 def _pack_A(wq, pack=None):
     """Block A payload(s) for the given (default: active) PACK mode."""
     pack = PACK if pack is None else pack
@@ -219,6 +233,8 @@ def _pack_A(wq, pack=None):
         return _pack_block_pair(wq)
     if pack == "tri":
         return _pack_block_tri(wq)
+    if pack == "dpair":
+        return _pack_block_dpair(wq)
     # "none" and "nine" share the flat (64, 576) layout: column t*64 + c
     # with t = dy*3 + dx — exactly the "nine" dup-bank row order
     return (_pack_block_A(wq),)
@@ -445,8 +461,9 @@ def _call_stage(x64, mask, A_s, f_s, b_s, bw_args, sxs, g, nblocks, ipr,
     )(mask, x64, A_s, f_s, b_s, *bw_args)
 
 
-_PACK_ROWS = {"none": 64, "pair": 128, "tri": 192, "nine": 576}
-_PACK_NA = {"none": 1, "pair": 2, "tri": 1, "nine": 1}
+_PACK_ROWS = {"none": 64, "pair": 128, "tri": 192, "nine": 576,
+              "dpair": 192}
+_PACK_NA = {"none": 1, "pair": 2, "tri": 1, "nine": 1, "dpair": 1}
 
 
 def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
@@ -578,6 +595,18 @@ def _block_kernel(*refs, g, sx, last, fxp, ipr, pack="none"):
                             preferred_element_type=jnp.int32)
                 acc = d if acc is None else acc + d
             return acc
+        if pack == "dpair":
+            # dy=0,1 stacked on M: one full-row (128, 192) dot over a
+            # window widened by RS, outputs realigned by lane slices
+            # (mrow_probe: 1.684 vs tri 1.769 us/img per conv)
+            Am, = A
+            d = jnp.dot(Am[0:128, :], src[0:192, o0:o0 + Sg + RSg],
+                        preferred_element_type=jnp.int32)
+            acc = d[0:64, 0:Sg] + d[64:128, RSg:RSg + Sg]
+            d2 = jnp.dot(Am[128:192, :],
+                         src[0:192, o0 + 2 * RSg:o0 + 2 * RSg + Sg],
+                         preferred_element_type=jnp.int32)
+            return acc + d2
         A0, = A
         acc = None
         for t, off in enumerate(taps):
