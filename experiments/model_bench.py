@@ -81,12 +81,17 @@ def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
     if which in ("unet", "all"):
-        net = prep(models.unet(in_ch=1, out_ch=1, base=32, depth=4),
-                   (1, 512, 512), calib=1)
+        # weights-only int8: the per-family A/B (unet_cfg_ab.json) showed
+        # static activation quantization costs +10% on this C-small,
+        # spatial-huge net at b1 (3.83 vs 3.47 ms)
+        net = models.unet(in_ch=1, out_ch=1, base=32, depth=4)
+        net.optimize()
+        net.quantize("int8")
+        net.astype_compute("bfloat16")
         x = jnp.zeros((1, 1, 512, 512), jnp.float32)
         dt = bench_net(net, x)
         results["unet512_b1"] = {"step_ms": dt * 1e3, "img_s": 1 / dt}
-        log(f"UNet-512 W8A8-static b1: {dt*1e3:.2f} ms ({1/dt:.0f} img/s)")
+        log(f"UNet-512 int8-weights b1: {dt*1e3:.2f} ms ({1/dt:.0f} img/s)")
 
     if which in ("yolo", "all"):
         net = prep(models.yolov3(), (3, 416, 416), calib=1)
