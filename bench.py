@@ -229,7 +229,9 @@ def main():
     N1, N2 = 10, 1010
     results = {}
     flops_per_img = None
-    for batch in (1, 8, 32, 64):
+    # 128 is the measured best-throughput batch (43.3k vs 35.1k img/s
+    # at 64, robust x3 — experiments/step_time.py r4); 256 regresses
+    for batch in (1, 8, 32, 64, 128):
         x = np.random.default_rng(0).standard_normal(
             (batch, 3, 224, 224)).astype(np.float32)
         x_dev = jax.device_put(jnp.asarray(x))
