@@ -102,10 +102,16 @@ def main():
 
     if which in ("resnet50", "all"):
         net = prep(models.resnet50(), (3, 224, 224), calib=2)
-        x = jnp.zeros((32, 3, 224, 224), jnp.float32)
-        dt = bench_net(net, x)
-        results["resnet50_224_b32"] = {"step_ms": dt * 1e3, "img_s": 32 / dt}
-        log(f"ResNet-50 W8A8-static b32: {dt*1e3:.2f} ms ({32/dt:.0f} img/s)")
+        # b32 = the BASELINE-pinned config; b128 = the measured
+        # best-throughput batch (the amortization found for ResNet-18's
+        # b128 sweep point generalizes: 17.9k vs 14.5k img/s)
+        for b in (32, 128):
+            x = jnp.zeros((b, 3, 224, 224), jnp.float32)
+            dt = bench_net(net, x)
+            results[f"resnet50_224_b{b}"] = {"step_ms": dt * 1e3,
+                                             "img_s": b / dt}
+            log(f"ResNet-50 W8A8-static b{b}: {dt*1e3:.2f} ms "
+                f"({b/dt:.0f} img/s)")
 
     path = "experiments/model_bench_r4.json"
     merged = {}
