@@ -255,6 +255,13 @@ def main():
         flops_per_img = 3.64e9  # 2x MACs, ResNet-18 @224 textbook
     best_batch = max(results, key=lambda b: b / results[b])
     best_ips = best_batch / results[best_batch]
+    # BASELINE.json's ResNet-18 config names "batch 1-64"; report that
+    # envelope's best alongside the overall sweep best (b128 measured
+    # fastest, experiments/step_time.py r4)
+    in64 = [b for b in results if b <= 64]
+    b64b = max(in64, key=lambda b: b / results[b])
+    log(f"best within batch 1-64 (BASELINE.json config): "
+        f"{b64b / results[b64b]:.1f} img/s at batch {b64b}")
     lat1 = results.get(1, 0.0)
     roofline_ips = peak / flops_per_img
     log(f"flops/img {flops_per_img/1e9:.2f}G  roofline {roofline_ips:.0f} "
