@@ -117,10 +117,15 @@ def main():
         finally:
             _st.PALLAS = old
 
-    def _stats(pairs, n, label, thr_raw, thr_margin, thr_rel):
+    gate_state = {"failed": False}
+
+    def _stats(pairs, n, label, thr_raw, thr_margin, thr_rel,
+               warn_raw=None, warn_rel=None):
         """Agreement + error stats over (y_test, y_ref) batch pairs.
         Margin filter = tests/test_accuracy.py MARGIN: flips on logit
-        near-ties of the untrained net are noise, not kernel bugs."""
+        near-ties of the untrained net are noise, not kernel bugs.
+        ``warn_*``: measured-healthy values (log-only) so drift inside a
+        deliberately loosened enforcement band stays visible (ADVICE r4)."""
         agrees, m_agree, m_total, rels = [], 0, 0, []
         for y_t, y_r in pairs:
             if not np.isfinite(y_t).all():
@@ -140,10 +145,17 @@ def main():
         log(f"numeric gate [{label}]: top1 agreement {agree:.4f} over {n} "
             f"(margin-filtered {magree:.4f} over {m_total}), "
             f"p99 rel err {rel99:.4f}")
+        if (warn_raw is not None and agree < warn_raw) or \
+                (warn_rel is not None and rel99 > warn_rel):
+            log(f"numeric gate WARNING ({label}): drifted past the "
+                f"measured-healthy band (agree {agree:.4f} vs warn "
+                f"{warn_raw}, p99rel {rel99:.4f} vs warn {warn_rel}) — "
+                f"still inside the enforced thresholds")
         if agree < thr_raw or magree < thr_margin or rel99 > thr_rel:
             msg = (f"numeric gate FAILED ({label}): agreement={agree:.4f} "
                    f"(<{thr_raw}) margin-filtered={magree:.4f} "
                    f"(<{thr_margin}) p99rel={rel99:.4f} (>{thr_rel})")
+            gate_state["failed"] = True
             if os.environ.get("BENCH_GATE_REPORT"):
                 log(msg + "  [report-only]")
             else:
@@ -214,7 +226,11 @@ def main():
         pairs = ((np.asarray(prog(xs)), np.asarray(net.oracle.run(xs)))
                  for xs in _ev.synthetic_images(n_orc, (3, 224, 224),
                                                 seed=29, batch=16))
-        _stats(pairs, n_orc, "fused-vs-oracle", 0.80, 0.995, 0.10)
+        # warn levels = ~1.2x the r4 measured-healthy values (raw 0.84,
+        # p99rel 0.0541): drift inside the loosened enforcement band
+        # (raw 0.80 / rel 0.10) still shows up in bench logs
+        _stats(pairs, n_orc, "fused-vs-oracle", 0.80, 0.995, 0.10,
+               warn_raw=0.82, warn_rel=0.065)
 
     t0 = time.perf_counter()
     numeric_gate()
@@ -253,27 +269,39 @@ def main():
 
     if not flops_per_img:
         flops_per_img = 3.64e9  # 2x MACs, ResNet-18 @224 textbook
-    best_batch = max(results, key=lambda b: b / results[b])
-    best_ips = best_batch / results[best_batch]
-    # BASELINE.json's ResNet-18 config names "batch 1-64"; report that
-    # envelope's best alongside the overall sweep best (b128 measured
-    # fastest, experiments/step_time.py r4)
+    # BASELINE.json's ResNet-18 config pins "batch 1-64 on 1 chip": the
+    # number of record (value/vs_baseline) is the best batch INSIDE that
+    # envelope (VERDICT r4 weak #1); the overall sweep best (b128 measured
+    # fastest, experiments/step_time.py r4) rides along as sweep_* keys.
     in64 = [b for b in results if b <= 64]
-    b64b = max(in64, key=lambda b: b / results[b])
-    log(f"best within batch 1-64 (BASELINE.json config): "
-        f"{b64b / results[b64b]:.1f} img/s at batch {b64b}")
+    best_batch = max(in64, key=lambda b: b / results[b])
+    best_ips = best_batch / results[best_batch]
+    sweep_batch = max(results, key=lambda b: b / results[b])
+    sweep_ips = sweep_batch / results[sweep_batch]
+    log(f"best within batch 1-64 (BASELINE.json config, the headline): "
+        f"{best_ips:.1f} img/s at batch {best_batch}; sweep best "
+        f"{sweep_ips:.1f} img/s at batch {sweep_batch}")
     lat1 = results.get(1, 0.0)
     roofline_ips = peak / flops_per_img
     log(f"flops/img {flops_per_img/1e9:.2f}G  roofline {roofline_ips:.0f} "
-        f"img/s  best batch {best_batch}  p50 batch-1 on-device latency "
-        f"{lat1*1e3:.3f} ms")
+        f"img/s  best in-envelope batch {best_batch}  p50 batch-1 "
+        f"on-device latency {lat1*1e3:.3f} ms")
 
-    print(json.dumps({
+    rec = {
         "metric": "resnet18_int8_images_per_sec_per_chip",
         "value": round(best_ips, 1),
         "unit": "images/s",
         "vs_baseline": round(best_ips / roofline_ips, 4),
-    }))
+        "config": f"batch {best_batch} (BASELINE batch 1-64 envelope)",
+        "sweep_best": round(sweep_ips, 1),
+        "sweep_best_batch": sweep_batch,
+        "sweep_best_vs_baseline": round(sweep_ips / roofline_ips, 4),
+    }
+    if os.environ.get("BENCH_GATE_REPORT"):
+        # an ungated number must not be mistakable for an official one
+        rec["gate"] = "report-only-FAILED" if gate_state["failed"] \
+            else "report-only"
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -566,10 +566,18 @@ def add(a, b, qadd=None, compute_dtype=None):
     fused elementwise pass — the bf16 activation round-trip disappears.
     The numpy oracle ignores ``qadd`` and stays fp32 end to end: the elided
     quantization is part of the quantized program's accuracy budget (same
-    policy as conv2d's ``out_scale``)."""
+    policy as conv2d's ``out_scale``).
+
+    Dtype gate (ADVICE r4): an operand is treated as codes only when its
+    RUNTIME dtype is int8, mirroring conv2d's pre-quantized gate — the
+    stage64 fallback contract is "every fallback path ignores out_scale
+    and emits float", so an annotation whose producer fell back must
+    degrade to a plain float operand here, not be mis-scaled as codes."""
     if qadd is None:
         return a + b
     sa, sb, so = qadd
+    sa = sa if (sa is not None and a.dtype == jnp.int8) else None
+    sb = sb if (sb is not None and b.dtype == jnp.int8) else None
     if so is not None:
         # scale ratios fold host-side; a same-scale residual (the common
         # ResNet case) contributes its codes exactly (ratio == 1.0)

@@ -421,6 +421,21 @@ def annotate_output_quant(net) -> int:
                 return s
         return None
 
+    # code_at propagation requires producers to precede consumers in flow
+    # order (ADVICE r4): a reordered flow would record qadd with sa/sb=None
+    # while the producer still emits codes — fail loudly instead.
+    all_dst = {d for e in graph.flow for d in e.dst}
+    produced = set(graph.inputs) | inits
+    for i, e in enumerate(graph.flow):
+        for s in e.src:
+            # names never produced anywhere are optional-input sentinels
+            # (the executor resolves them to None) — only a read of a
+            # tensor whose producer comes LATER is a reorder violation
+            assert s in produced or s not in all_dst, (
+                f"annotate_output_quant: flow is not topologically ordered "
+                f"(edge {i} reads {s!r} before its producer)")
+        produced.update(e.dst)
+
     n = 0
     code_at = {}      # tensor name -> scale its int8 codes carry
     for e in graph.flow:
