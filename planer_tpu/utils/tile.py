@@ -5,6 +5,9 @@ optional resampling to ``sample`` size, padding/rounding to a ``glob``
 multiple, overlapping ``window`` slices with ``margin`` overlap, per-window
 forward passes, and triangular edge-ramp weighted blending of overlaps —
 output-scale aware (segmentation k=1 and super-resolution k>1 both work).
+The implementation is an independent re-derivation; only the observable
+contract (decorator signature, per-call overrides, blend semantics — all
+pinned by tests/test_tile.py) is shared with the reference.
 
 This is the host-side path for arbitrary image sizes; the pod-scale analog
 (spatial sharding with conv-halo exchange over ICI) lives in
@@ -34,87 +37,95 @@ def grid_slice(H: int, W: int, h: int, w: int, margin: int):
                                   make_slice(W, w, margin)))
 
 
-def _ramp_weights(h: int, w: int, mar: int) -> np.ndarray:
-    """Triangular edge ramp: weight 1..mar+1 rising from each border."""
-    wt = np.full((h, w), mar + 1, dtype=np.uint16)
-    for i in range(mar, 0, -1):
-        wt[i - 1, :] = np.minimum(wt[i - 1, :], i)
-        wt[-i, :] = np.minimum(wt[-i, :], i)
-        wt[:, i - 1] = np.minimum(wt[:, i - 1], i)
-        wt[:, -i] = np.minimum(wt[:, -i], i)
-    return wt
+def _blend_weights(h: int, w: int, overlap: int) -> np.ndarray:
+    """Separable triangular blend ramp.
+
+    Along each axis the weight rises 1..overlap+1 from the border and
+    plateaus; the 2-D weight is the outer minimum of the two axis ramps, so
+    corners take the corner-correct min (not the product) and two windows
+    overlapping by ``overlap`` pixels sum to a constant across the seam."""
+
+    def axis_ramp(n: int) -> np.ndarray:
+        up = np.arange(1, n + 1)
+        return np.minimum(np.minimum(up, up[::-1]), overlap + 1)
+
+    return np.minimum(axis_ramp(h)[:, None],
+                      axis_ramp(w)[None, :]).astype(np.float32)
+
+
+def _run_tiled(f, img, args, kwargs, *, sample, glob, window, margin,
+               progress, astype):
+    in_h, in_w = img.shape[:2]
+    work = img.astype(astype, copy=False)
+
+    # working resolution: explicit (h, w) or a scale factor of the input
+    if isinstance(sample, (tuple, list)):
+        work_hw = [int(sample[0]), int(sample[1])]
+    else:
+        work_hw = [int(in_h * sample), int(in_w * sample)]
+    # a window larger than the image collapses, per axis, to the image
+    # extent rounded up to a ``glob`` multiple (models often require
+    # shape % 2**depth == 0)
+    win = [window, window]
+    for ax in (0, 1):
+        if win[ax] > work_hw[ax]:
+            win[ax] = work_hw[ax] = math.ceil(work_hw[ax] / glob) * glob
+    if work_hw != [in_h, in_w]:
+        work = resize(work, work_hw)
+    overlap = int(window * margin) if isinstance(margin, float) else margin
+
+    windows = grid_slice(work_hw[0], work_hw[1], win[0], win[1], overlap)
+    total = len(windows)
+
+    acc = norm = ramp = None
+    scale = 1.0
+    out_dtype = None
+    for idx, (rs, cs) in enumerate(windows):
+        if progress and total > 1:
+            progress(idx + 1, total)
+        piece = np.asarray(f(work[rs, cs], *args, **kwargs))
+        if acc is None:
+            # the first result fixes the output scale (super-resolution
+            # nets return k x the window height) and the output dtype
+            scale = piece.shape[0] / (rs.stop - rs.start)
+            out_dtype = piece.dtype
+            if total == 1:
+                if work_hw != [in_h, in_w]:
+                    piece = resize(piece, (int(in_h * scale),
+                                           int(in_w * scale)))
+                return piece.astype(out_dtype)
+            ramp = _blend_weights(piece.shape[0], piece.shape[1],
+                                  int(overlap * scale))
+            if piece.ndim == 3:
+                ramp = ramp[:, :, None]
+            full = (int(work.shape[0] * scale), int(work.shape[1] * scale))
+            acc = np.zeros(full + piece.shape[2:], dtype=np.float32)
+            norm = np.zeros(full + (1,) * (piece.ndim - 2),
+                            dtype=np.float32)
+        dst = (slice(int(rs.start * scale), int(rs.stop * scale)),
+               slice(int(cs.start * scale), int(cs.stop * scale)))
+        acc[dst] += piece * ramp
+        norm[dst] += ramp
+    acc /= norm
+    if work_hw != [in_h, in_w]:
+        acc = resize(acc, (int(in_h * scale), int(in_w * scale)))
+    return acc.astype(out_dtype)
 
 
 def tile(sample=1, glob=1, window=1024, margin=0.1, astype="float32",
          progress=None):
     """Decorator: make ``f(img2d_or_hwc) -> img`` work on arbitrarily large
-    inputs by running it on overlapping windows and blending the seams."""
+    inputs by running it on overlapping windows and blending the seams.
+    Tiling options may be overridden per call via keyword arguments of the
+    same names; every other kwarg is forwarded to ``f``."""
+    options = {"sample": sample, "glob": glob, "window": window,
+               "margin": margin, "progress": progress}
 
-    def wrapf(f):
-        def wrapped(img, *args, **key):
-            tps = {"sample", "window", "glob", "margin", "progress"}
-            fp = {k: v for k, v in key.items() if k not in tps}
-            tp = {k: v for k, v in key.items() if k in tps}
-            ssz = tp.get("sample", sample)
-            wsz = tp.get("window", window)
-            gsz = tp.get("glob", glob)
-            mar = tp.get("margin", margin)
-            info = tp.get("progress", progress)
-
-            img = np.asarray(img)
-            h, w = img.shape[:2]
-            work = img.astype(astype, copy=False)
-            if isinstance(ssz, tuple):
-                ssz = list(ssz)
-            else:
-                ssz = [int(h * ssz), int(w * ssz)]
-            wsh = wsw = wsz
-            # smaller than the window: round up to a glob multiple instead
-            if wsh > ssz[0]:
-                wsh = ssz[0] = math.ceil(ssz[0] / gsz) * gsz
-            if wsw > ssz[1]:
-                wsw = ssz[1] = math.ceil(ssz[1] / gsz) * gsz
-            if ssz != [h, w]:
-                work = resize(work, ssz)
-            if isinstance(mar, float):
-                mar = int(wsz * mar)
-
-            rcs = grid_slice(ssz[0], ssz[1], wsh, wsw, mar)
-            if info and len(rcs) > 1:
-                info(1, len(rcs))
-            first = f(work[rcs[0]], *args, **fp)
-            first = np.asarray(first)
-            k = first.shape[0] / (rcs[0][0].stop - rcs[0][0].start)
-            if len(rcs) == 1:
-                if ssz != [h, w]:
-                    return resize(first, (int(h * k), int(w * k))
-                                  ).astype(first.dtype)
-                return first
-
-            def sk(ss):
-                return (slice(int(ss[0].start * k), int(ss[0].stop * k)),
-                        slice(int(ss[1].start * k), int(ss[1].stop * k)))
-
-            out_hw = int(work.shape[0] * k), int(work.shape[1] * k)
-            wt = _ramp_weights(first.shape[0], first.shape[1],
-                               int(mar * k)).astype(np.float32)
-            if first.ndim == 3:
-                wt = wt[:, :, None]
-            buf = np.zeros(out_hw + first.shape[2:], dtype=np.float32)
-            cnt = np.zeros(out_hw + (1,) * (first.ndim - 2), dtype=np.float32)
-            buf[sk(rcs[0])] += first * wt
-            cnt[sk(rcs[0])] += wt
-            for i in range(1, len(rcs)):
-                if info:
-                    info(i + 1, len(rcs))
-                rst = np.asarray(f(work[rcs[i]], *args, **fp))
-                buf[sk(rcs[i])] += rst * wt
-                cnt[sk(rcs[i])] += wt
-            buf /= cnt
-            if ssz != [h, w]:
-                buf = resize(buf, (int(h * k), int(w * k)))
-            return buf.astype(first.dtype)
-
+    def deco(f):
+        def wrapped(img, *args, **kwargs):
+            opts = {k: kwargs.pop(k, v) for k, v in options.items()}
+            return _run_tiled(f, np.asarray(img), args, kwargs,
+                              astype=astype, **opts)
         return wrapped
 
-    return wrapf
+    return deco
