@@ -22,7 +22,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from planer_tpu import models
-from planer_tpu.optimize import fuse_stage64, fuse_stagen
+from planer_tpu.optimize import (annotate_output_quant, fuse_stage64,
+                                 fuse_stagen)
 from planer_tpu.quant import calibrate_act_scales
 from planer_tpu.models import eval as ev
 
@@ -47,6 +48,9 @@ def build(variant):
             "l12": 512, "full": 10 ** 9}.get(variant)
     if cout:
         fuse_stagen(net, max_cout=cout)
+    # r4 default: int8 residual-add chaining on BOTH sides of the A/B
+    # (VERDICT r4 item 3 — the r3 A/B predates qadd and flattered neither)
+    annotate_output_quant(net)
     net.astype_compute("bfloat16")
     return net
 
@@ -77,8 +81,10 @@ def step_time(net, batch):
         return best
 
     t(10)
-    a, b = t(10), t(110)
-    return max((b - a) / 100, 1e-9)
+    # robust 1000-step quotient (the 100-step form recorded a 13%-low step
+    # during a relay-jitter episode — RESULTS.md "qadd correction")
+    a, b = t(10), t(1010)
+    return max((b - a) / 1000, 1e-9)
 
 
 def main():

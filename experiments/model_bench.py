@@ -5,7 +5,7 @@ runtime has gained since the round-1 numbers: BN folding, calibrated static
 activation scales, W8A8 convs, stage64 fusion + output-quant chaining.
 
 Usage: python experiments/model_bench.py [unet|yolo|resnet50|all]
-Writes/merges experiments/model_bench_r4.json (one entry per family).
+Writes/merges experiments/model_bench_r5.json (one entry per family).
 """
 import json
 import os
@@ -62,6 +62,63 @@ def bench_net(net, x, n1=10, n2=510):
     return max((t(n2) - t(n1)) / (n2 - n1), 1e-9)
 
 
+PEAK_FLOPS = 197e12       # v5e bf16 MXU peak
+HBM_BW = 819e9            # v5e HBM bytes/s
+
+
+def roofline(net, batch, shape):
+    """Per-image FLOPs and HBM bytes of the exact program, from XLA cost
+    analysis of a CPU lowering of the DECOMPOSED graph (op-chain-identical
+    FLOPs; the Pallas calls cannot lower on CPU — same honesty contract as
+    bench.py flops_per_image).  Bytes are XLA's post-fusion operand+output
+    accounting — a traffic proxy, not a DMA trace; the bandwidth roofline
+    derived from it is therefore an upper bound on achievable img/s."""
+    from planer_tpu.ops.pallas import stage64 as _st
+    from planer_tpu.ops.pallas import stagen as _sn
+    old = _st.PALLAS, _sn.PALLAS
+    _st.PALLAS = _sn.PALLAS = False
+    try:
+        prog = net.program
+        fn_, _ = prog._build_fn({}, [])
+        cpu = jax.devices("cpu")[0]
+        x = jax.ShapeDtypeStruct((batch,) + tuple(shape), np.float32)
+        cparams = jax.tree.map(np.asarray, prog.params)
+        with jax.default_device(cpu):
+            ca = jax.jit(fn_).lower(cparams, x).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return (float(ca.get("flops", 0.0)) / batch,
+                float(ca.get("bytes accessed", 0.0)) / batch)
+    except Exception as e:
+        log(f"  cost_analysis failed: {e}")
+        return None, None
+    finally:
+        _st.PALLAS, _sn.PALLAS = old
+
+
+def attach_roofline(entry, net, batch, shape, dt):
+    """Add speed-of-light accounting (VERDICT r4 item 5) to a result row."""
+    fl, by = roofline(net, batch, shape)
+    if not fl:
+        return entry
+    comp_ips = PEAK_FLOPS / fl
+    ips = batch / dt
+    entry.update({
+        "gflop_per_img": round(fl / 1e9, 2),
+        "mbytes_per_img": round((by or 0) / 1e6, 1),
+        "compute_roofline_img_s": round(comp_ips),
+        "mfu": round(ips / comp_ips, 3),
+    })
+    if by:
+        bw_ips = HBM_BW / by
+        entry.update({
+            "bandwidth_roofline_img_s": round(bw_ips),
+            "bw_frac": round(ips / bw_ips, 3),
+            "bound": "bandwidth" if bw_ips < comp_ips else "compute",
+        })
+    return entry
+
+
 def prep(net, shape, calib=2):
     """optimize + calibrate + static-int8 quantize + bf16 (the bench.py
     recipe, i.e. the serving default)."""
@@ -90,8 +147,10 @@ def main():
         net.astype_compute("bfloat16")
         x = jnp.zeros((1, 1, 512, 512), jnp.float32)
         dt = bench_net(net, x)
-        results["unet512_b1"] = {"step_ms": dt * 1e3, "img_s": 1 / dt}
-        log(f"UNet-512 int8-weights b1: {dt*1e3:.2f} ms ({1/dt:.0f} img/s)")
+        results["unet512_b1"] = attach_roofline(
+            {"step_ms": dt * 1e3, "img_s": 1 / dt}, net, 1, (1, 512, 512), dt)
+        log(f"UNet-512 int8-weights b1: {dt*1e3:.2f} ms ({1/dt:.0f} img/s) "
+            f"{results['unet512_b1']}")
 
     if which in ("yolo", "all"):
         net = prep(models.yolov3(), (3, 416, 416), calib=1)
@@ -101,10 +160,11 @@ def main():
         for b in (8, 16):
             x = jnp.zeros((b, 3, 416, 416), jnp.float32)
             dt = bench_net(net, x)
-            results[f"yolov3_416_b{b}"] = {"step_ms": dt * 1e3,
-                                           "img_s": b / dt}
+            results[f"yolov3_416_b{b}"] = attach_roofline(
+                {"step_ms": dt * 1e3, "img_s": b / dt}, net, b,
+                (3, 416, 416), dt)
             log(f"YOLOv3-416 W8A8-static b{b}: {dt*1e3:.2f} ms "
-                f"({b/dt:.0f} img/s)")
+                f"({b/dt:.0f} img/s) {results[f'yolov3_416_b{b}']}")
 
     if which in ("resnet50", "all"):
         net = prep(models.resnet50(), (3, 224, 224), calib=2)
@@ -114,12 +174,13 @@ def main():
         for b in (32, 128):
             x = jnp.zeros((b, 3, 224, 224), jnp.float32)
             dt = bench_net(net, x)
-            results[f"resnet50_224_b{b}"] = {"step_ms": dt * 1e3,
-                                             "img_s": b / dt}
+            results[f"resnet50_224_b{b}"] = attach_roofline(
+                {"step_ms": dt * 1e3, "img_s": b / dt}, net, b,
+                (3, 224, 224), dt)
             log(f"ResNet-50 W8A8-static b{b}: {dt*1e3:.2f} ms "
-                f"({b/dt:.0f} img/s)")
+                f"({b/dt:.0f} img/s) {results[f'resnet50_224_b{b}']}")
 
-    path = "experiments/model_bench_r4.json"
+    path = "experiments/model_bench_r5.json"
     merged = {}
     if os.path.exists(path):
         merged = json.load(open(path))
