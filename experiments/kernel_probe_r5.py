@@ -113,8 +113,10 @@ def _tri_cols(A_ref, src_ref, c0, c1):
 
 def k_block5(mask_ref, x_ref, A1_ref, q1_ref, A2_ref, q2f_ref, q2b_ref,
              o_ref, xd_ref, y1_ref, *, mode, last, dense, sx):
-    m8 = mask_ref[...]
-    cond = m8 != 0
+    def mslice(c0, c1):
+        # ref-load the mask slice: value-slicing the loaded (1, S) mask at
+        # a lane offset miscompiles the broadcast ("Invalid input layout")
+        return mask_ref[:, c0:c1]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -138,19 +140,19 @@ def k_block5(mask_ref, x_ref, A1_ref, q1_ref, A2_ref, q2f_ref, q2b_ref,
     def epi1(acc, c0, c1):
         if mode == "dotmin":
             return (jnp.minimum(jnp.maximum(acc >> 7, 0), 127)
-                    .astype(jnp.int8) & m8[:, c0:c1])
-        return st._fxp_q(acc, q1_ref, m8[:, c0:c1])
+                    .astype(jnp.int8) & mslice(c0, c1))
+        return st._fxp_q(acc, q1_ref, mslice(c0, c1))
 
     def epi2(acc, res8, c0, c1):
         if mode == "dotmin":
             return (jnp.minimum(jnp.maximum(acc >> 7, 0), 127)
-                    .astype(jnp.int8) & m8[:, c0:c1])
+                    .astype(jnp.int8) & mslice(c0, c1))
         if last:
             v2 = (acc.astype(jnp.float32) * q2f_ref[...] + q2b_ref[...]
                   + res8.astype(jnp.float32) * sx)
-            return jnp.where(cond[:, c0:c1], jnp.maximum(v2, 0.0), 0.0
+            return jnp.where(mslice(c0, c1) != 0, jnp.maximum(v2, 0.0), 0.0
                              ).astype(o_ref.dtype)
-        return st._fxp_q(acc, q2f_ref, m8[:, c0:c1], res=res8)
+        return st._fxp_q(acc, q2f_ref, mslice(c0, c1), res=res8)
 
     def conv(A_ref, src_ref, c0, c1):
         if mode == "vpumin":
@@ -162,10 +164,14 @@ def k_block5(mask_ref, x_ref, A1_ref, q1_ref, A2_ref, q2f_ref, q2b_ref,
     def store_out(v, c0):
         c1 = c0 + v.shape[1]
         if dense:
-            # dense (64, R, R) stores: row r of the padded plane -> row r
+            # dense (64, R*R) stores — identical memory to NCHW
+            # (64, R, R), so the XLA-side reshape is a free bitcast;
+            # a 4-D block would need an unsupported (64,56)->(1,64,1,56)
+            # shape cast in the store
             r0, r1 = c0 // RS, (c1 + RS - 1) // RS
             for r in range(r0, min(r1, R)):
-                o_ref[0, :, r, :] = v[:, r * RS - c0:r * RS - c0 + R]
+                o_ref[0, :, r * R:(r + 1) * R] = \
+                    v[:, r * RS - c0:r * RS - c0 + R]
             return
         o_ref[0, :, HALO + c0:HALO + c1] = v
 
@@ -203,8 +209,8 @@ def call_block5(x, mask, W1, E1, W2, E2f, E2b, mode="lib", last=False,
     n = x.shape[0]
     const = lambda a: pl.BlockSpec(tuple(a.shape), lambda i: (0,) * a.ndim)
     if dense:
-        out_spec = pl.BlockSpec((1, 64, R, R), lambda i: (i, 0, 0, 0))
-        out_shape = jax.ShapeDtypeStruct((n, 64, R, R), jnp.bfloat16)
+        out_spec = pl.BlockSpec((1, 64, R * R), lambda i: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((n, 64, R * R), jnp.bfloat16)
     else:
         out_spec = pl.BlockSpec((1, 64, BUF), lambda i: (i, 0, 0))
         out_shape = jax.ShapeDtypeStruct(
@@ -301,7 +307,8 @@ def main():
             jnp.bfloat16, G), (x,))
     probes["lastblock_dense"] = (
         lambda x_: call_block5(x_, mask, W1, q1, W2, f2, b2, mode="lib",
-                               last=True, dense=True), (x,))
+                               last=True, dense=True
+                               ).reshape(x_.shape[0], 64, R, R), (x,))
 
     # ---- correctness gates (exact integer math -> exact agreement),
     # reduced on device (full outputs through the relay cost minutes)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["top1_agreement", "output_delta", "detection_agreement",
-           "synthetic_images", "load_real_weights"]
+           "synthetic_images", "load_real_weights", "structure_weights"]
 
 
 def load_real_weights(name: str, cache_dir: str | None = None):
@@ -245,3 +245,97 @@ def detection_agreement(net_ref, net_test, n: int = 8, size: int = 416,
     f1 = 2 * prec * rec / max(prec + rec, 1e-9)
     return {"precision": prec, "recall": rec, "f1": f1,
             "tp": tp, "fp": fp, "fn": fn, "dropped_unstable": dropped}
+
+
+def structure_weights(net, seed: int = 0, channel_spread: float = 0.6,
+                      outlier_frac: float = 0.03, outlier_gain: float = 4.0,
+                      center_head: bool = False,
+                      center_shape=(3, 224, 224)):
+    """Re-initialize an untrained net with TRAINED-checkpoint-like weight
+    statistics so accuracy budgets are exercised under realistic dynamic
+    ranges (VERDICT r4 item 9), not just raw He noise whose near-uniform
+    logits tie within quantization noise:
+
+      * conv/dense kernels become semi-orthogonal (QR of a gaussian, then
+        He magnitude): decorrelated features give the head decisive
+        margins, so margin-filtered top-1 agreement measures real flips;
+      * every output channel draws a lognormal gain
+        (sigma=``channel_spread``) reproducing the ~5-10x within-layer
+        absmax spread of torchvision ResNet checkpoints — the spread that
+        per-channel int8 scales must absorb;
+      * ``outlier_frac`` of channels get an extra ``outlier_gain``: the
+        single-hot-channel absmax stressor real checkpoints exhibit;
+      * folded-BN affines draw gamma ~ U(0.3, 1.6) and beta ~ N(0, 0.3)
+        (post-fold torchvision ranges) instead of ~1 +- 0.1;
+      * ``center_head`` (classifier nets): the head bias absorbs the mean
+        logit over a few calibration inputs of ``center_shape`` — exactly
+        what training does — because the GAP feature's input-INDEPENDENT
+        per-channel component otherwise hands argmax to one fixed class on
+        every input, making top-1 agreement trivially 1.0.
+
+    Operates on any builder net whose inits follow the ``*.w`` (OIHW conv /
+    (O, I) dense), ``*.bn.k``/``*.bn.b`` affine, 1-D ``*.b`` bias naming.
+    Mutates ``net.weights`` in place and invalidates compiled programs.
+    """
+    rng = np.random.default_rng(seed)
+
+    def semi_orthogonal(o, f):
+        if o <= f:
+            q, _ = np.linalg.qr(rng.standard_normal((f, o)))
+            return q.T                       # (o, f), orthonormal rows
+        q, _ = np.linalg.qr(rng.standard_normal((o, f)))
+        return q                             # orthonormal columns
+
+    def channel_gains(o):
+        g = rng.lognormal(0.0, channel_spread, o)
+        hot = rng.random(o) < outlier_frac
+        g[hot] *= outlier_gain
+        # rms-normalize: the within-layer SPREAD is the int8 stressor, but
+        # the layer-level power must stay ~He — trained nets are
+        # near-isometric, while an rms>1 gain compounds over ~20 convs
+        # into chaotic noise amplification no quantizer could pass
+        return (g / np.sqrt((g ** 2).mean())).astype(np.float32)
+
+    idx = net.graph.init_index()
+    for name, shape, _dtype in net.graph.inits:
+        w = net.weights[idx[name]]
+        if name.endswith(".w") and w.ndim == 4:
+            o, c, kh, kw = w.shape
+            flat = semi_orthogonal(o, c * kh * kw)
+            # orthonormal rows have RMS 1/sqrt(f); He wants sqrt(2/f)
+            flat = flat * np.sqrt(2.0) * channel_gains(o)[:, None]
+            net.weights[idx[name]] = flat.reshape(w.shape).astype(np.float32)
+        elif name.endswith(".w") and w.ndim == 2:
+            # classifier heads keep near-balanced row norms (trained heads
+            # do): a lognormal-hot row would win argmax on EVERY input and
+            # make top-1 agreement trivially 1.0
+            o, f = w.shape
+            g = rng.lognormal(0.0, channel_spread / 6.0, o)
+            flat = semi_orthogonal(o, f) * (g / g.mean())[:, None]
+            net.weights[idx[name]] = flat.astype(np.float32)
+        elif name.endswith(".bn.k"):
+            gamma = rng.uniform(0.3, 1.6, w.shape)
+            gamma /= np.sqrt((gamma ** 2).mean())   # isometry, as above
+            net.weights[idx[name]] = gamma.astype(np.float32)
+        elif name.endswith(".bn.b"):
+            net.weights[idx[name]] = (
+                0.3 * rng.standard_normal(w.shape)).astype(np.float32)
+        elif name.endswith(".b") and w.ndim == 1:
+            net.weights[idx[name]] = (
+                0.05 * rng.standard_normal(w.shape)).astype(np.float32)
+    net._invalidate()
+    if center_head:
+        # the bias of the LAST 2-D weight's layer absorbs the mean logit
+        head_b = None
+        for name, _shape, _dt in net.graph.inits:
+            if name.endswith(".w") and net.weights[idx[name]].ndim == 2:
+                head_b = name[:-2] + ".b"
+        if head_b in idx:
+            ys = [np.asarray(net(x)).mean(axis=0)
+                  for x in synthetic_images(8, center_shape,
+                                            seed=seed + 1000, batch=4)]
+            net.weights[idx[head_b]] = (
+                net.weights[idx[head_b]] - np.mean(ys, axis=0)
+            ).astype(np.float32)
+            net._invalidate()
+    return net

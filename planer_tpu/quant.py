@@ -49,7 +49,12 @@ _MODES = {
 }
 
 
-def calibrate_act_scales(net, batches, percentile: float = 99.9) -> dict:
+def calibrate_act_scales(net, batches, percentile: float = 99.99) -> dict:
+    # percentile default: 99.9 measured 3x over the accuracy budget under
+    # realistic per-channel activation spread (structured-weight @224 leg,
+    # tests/test_accuracy.py): hot channels lose their top range to the
+    # clip, p99 rel error 0.076 vs 0.017 at 99.99 and 0.0185 at absmax —
+    # 99.99 keeps hot-channel range while still dropping one-off outliers.
     """Run calibration batches through the numpy oracle, recording the
     per-tensor activation scale of every conv's input (SURVEY §2 #28:
     converter-side calibration).  Returns {weight_name: scale} and stores it
