@@ -167,7 +167,14 @@ def _conv2d(x, K, B=None, group=1, strides=(1, 1), dilations=(1, 1),
         and x.shape[2] % 2 == 0 and x.shape[2] >= 4
         # the row-interleave transpose only amortizes on big GEMMs
         # (measured: +15% at batch>=32 on 56^2, -30% at batch<=8)
-        and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000)
+        and x.shape[0] * x.shape[2] * x.shape[3] >= 100_000
+        # single-lane-tile W only: at W > 128 the interleave layout
+        # pessimizes the surrounding program — YOLO-v3 b16 measured
+        # 11.58 -> 9.05 ms with stacking off at its 208-416-wide layers
+        # while the isolated stacked convs were neutral-to-better
+        # (experiments/yolo_entry_probe.json, yolo_stack_ab.json); the
+        # ResNet win was always measured at W = 56
+        and x.shape[3] <= 128)
     if isinstance(K, QTensor):
         # pre-quantized input: int8 activations are by contract CODES at
         # K.act_scale (only ever produced by an annotated producer whose
