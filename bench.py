@@ -226,11 +226,16 @@ def main():
         pairs = ((np.asarray(prog(xs)), np.asarray(net.oracle.run(xs)))
                  for xs in _ev.synthetic_images(n_orc, (3, 224, 224),
                                                 seed=29, batch=16))
-        # warn levels = ~1.2x the r4 measured-healthy values (raw 0.84,
-        # p99rel 0.0541): drift inside the loosened enforcement band
-        # (raw 0.80 / rel 0.10) still shows up in bench logs
-        _stats(pairs, n_orc, "fused-vs-oracle", 0.80, 0.995, 0.10,
-               warn_raw=0.82, warn_rel=0.065)
+        # r5 recalibration: the calibrate percentile fix (99.9 -> 99.99)
+        # IMPROVED real error 5x (p99 rel 0.0541 -> 0.0103 measured) but
+        # shuffled tie-breaking on the untrained net's near-uniform logits
+        # (raw 0.84 -> 0.78 at n=32 — pure tie-noise; margin-filtered
+        # stays 1.0000).  The raw floor drops to the catastrophic-only
+        # 0.75 and the regression-catching duty moves to a TIGHTENED p99
+        # rel bound (0.10 -> 0.05 ~ 5x the new measured-healthy): a
+        # return to even the old calibration quality now fails the gate.
+        _stats(pairs, n_orc, "fused-vs-oracle", 0.75, 0.995, 0.05,
+               warn_raw=0.76, warn_rel=0.03)
 
     t0 = time.perf_counter()
     numeric_gate()

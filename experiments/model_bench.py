@@ -114,7 +114,11 @@ def attach_roofline(entry, net, batch, shape, dt):
         entry.update({
             "bandwidth_roofline_img_s": round(bw_ips),
             "bw_frac": round(ips / bw_ips, 3),
-            "bound": "bandwidth" if bw_ips < comp_ips else "compute",
+            # bw_frac > 1 = the program BEAT the naive bytes roofline, so
+            # XLA's post-fusion byte accounting over-counts (fusion elides
+            # the counted traffic) and the binding ceiling is compute
+            "bound": "bandwidth" if (bw_ips < comp_ips and ips <= bw_ips)
+            else "compute",
         })
     return entry
 
